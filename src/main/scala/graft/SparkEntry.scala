@@ -1,13 +1,294 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.{Engines, Extractor, Payload, Pdf, Preprocessors}
+import graft.functions.GraftFunctions
+import graft.spark.{ExtractPipeline, Transcripts}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every `queries` entry is one operator from SURVEY.md §2 (or a
+  * training-data-pipeline op) run over the driver's parquet tables; the
+  * matching `oracleSql` entry is the independent ANSI-SQL statement DuckDB
+  * executes over the same tables. Column names and orderings are aligned on
+  * both sides (the driver sorts columns by name before hashing).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the full extraction pipeline on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    e2eExtract(spark, "/root/testdata/sf0.001")
+
+  /** Full pipeline: documents -> transcript derivation -> salted repartition
+    * -> fused parse/chain/engine map -> stable order.
+    */
+  private def e2eExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    val transcripts = Transcripts.fromDocuments(spark, sfDir)
+    ExtractPipeline
+      .extract(spark, transcripts)
+      .select("conv_id", "turn_idx", "text", "status", "engine")
+      .orderBy("conv_id", "turn_idx")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------------------------------------------------------- extraction
+    "e2e_extract" -> ((s, dir) => e2eExtract(s, dir)),
+
+    "o11_extract_html" -> ((s, dir) => {
+      import s.implicits._
+      Transcripts.documents(s, dir)
+        .select(col("doc_id"), Transcripts.htmlWrap(col("text")).as("html"))
+        .as[(Long, String)]
+        .map { case (id, html) =>
+          val r = Engines.tesseract(Payload.bytes(html), None)
+          (id, r.fold(identity, _.text))
+        }
+        .toDF("doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    "o12_extract_pdf" -> ((s, dir) => {
+      import s.implicits._
+      Transcripts.documents(s, dir)
+        .select(col("doc_id"), Transcripts.pdfWrap(col("text")).as("pdf"))
+        .as[(Long, String)]
+        .map { case (id, pdf) =>
+          val r = Engines.sandwich(Payload.bytes(pdf),
+            Some(Map("ocr_type" -> graft.model.JVal.JStr("txt"))),
+            28800L, Engines.CoreConfig())
+          (id, r.fold(identity, _.text))
+        }
+        .toDF("doc_id", "text_b64")
+        .orderBy("doc_id")
+    }),
+
+    "o7_swt_preprocessor" -> ((s, dir) => {
+      import s.implicits._
+      Transcripts.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, t) =>
+          (id,
+            Payload.utf8(Preprocessors.strokeWidthTransform(Payload.bytes(t), "0")),
+            Payload.utf8(Preprocessors.strokeWidthTransform(Payload.bytes(t), "1")))
+        }
+        .toDF("doc_id", "inverted", "kept")
+        .orderBy("doc_id")
+    }),
+
+    "o8_convert_pdf" -> ((s, dir) => {
+      import s.implicits._
+      Transcripts.documents(s, dir)
+        .select(col("doc_id"), Transcripts.pdfWrap(col("text")).as("pdf"))
+        .as[(Long, String)]
+        .map { case (id, pdf) =>
+          (id, Preprocessors.convertPdf(Payload.bytes(pdf)).fold(identity, Payload.utf8))
+        }
+        .toDF("doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    "o4_payload_sniff" -> ((s, dir) => {
+      val nul = expr("char(0)")
+      Transcripts.documents(s, dir)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(4)) === 0, concat(lit("%PDF-1.4 "), col("text")))
+            .when(pmod(col("doc_id"), lit(4)) === 1, concat(lit("II*"), nul, col("text")))
+            .when(pmod(col("doc_id"), lit(4)) === 2, concat(lit("MM"), nul, lit("*"), col("text")))
+            .otherwise(col("text")).as("payload"))
+        .select(col("doc_id"), GraftFunctions.sniffType(col("payload")).as("file_type"))
+        .orderBy("doc_id")
+    }),
+
+    "o5_chain_reverse" -> ((s, dir) => {
+      Transcripts.documents(s, dir)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(3)) === 0, "identity")
+            .when(pmod(col("doc_id"), lit(3)) === 1, "identity,stroke-width-transform")
+            .otherwise("stroke-width-transform,convert-pdf,identity").as("chain"))
+        // tail-pop consumption == reverse list order, engine hop last
+        // (ocr_request.go:30-40)
+        .select(col("doc_id"),
+          concat(concat_ws(",", reverse(split(col("chain"), ","))), lit(",engine"))
+            .as("exec_order"))
+        .orderBy("doc_id")
+    }),
+
+    "o9_engine_dispatch" -> ((s, dir) => {
+      Transcripts.documents(s, dir)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7)) === 0, "tesseract")
+            .when(pmod(col("doc_id"), lit(7)) === 1, "SANDWICH")
+            .when(pmod(col("doc_id"), lit(7)) === 2, "Mock")
+            .when(pmod(col("doc_id"), lit(7)) === 3, "go_tesseract")
+            .when(pmod(col("doc_id"), lit(7)) === 4, "bogus_engine")
+            .when(pmod(col("doc_id"), lit(7)) === 5, "")
+            .otherwise("TESSERACT").as("engine_str"))
+        .select(col("doc_id"), col("engine_str"),
+          GraftFunctions.resolveEngine(col("engine_str")).as("resolved"))
+        .withColumn("supported", (col("resolved") =!= "go_tesseract").cast("boolean"))
+        .orderBy("doc_id")
+    }),
+
+    "o10_mock_engine" -> ((s, dir) => {
+      import s.implicits._
+      Transcripts.documents(s, dir)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val r = Extractor.extractTurn("c", id.toInt, "ignored", """{"engine":"mock"}""")
+          (id, r.text, r.status)
+        }
+        .toDF("doc_id", "text", "status")
+        .orderBy("doc_id")
+    }),
+
+    "o14_priority" -> ((s, dir) => {
+      Transcripts.documents(s, dir)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(4)) === 0, "")
+            .when(pmod(col("doc_id"), lit(4)) === 1, "standard")
+            .when(pmod(col("doc_id"), lit(4)) === 2, "egov")
+            .otherwise("unknown-class").as("doc_type"))
+        .select(col("doc_id"), col("doc_type"),
+          GraftFunctions.priorityFor(col("doc_type"), Map("standard" -> 1, "egov" -> 9))
+            .as("priority"))
+        .orderBy("doc_id")
+    }),
+
+    "o15_timeout_clamp" -> ((s, dir) => {
+      Transcripts.documents(s, dir)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(4)) === 0, 0L)
+            .when(pmod(col("doc_id"), lit(4)) === 1, 60L)
+            .when(pmod(col("doc_id"), lit(4)) === 2, 28800L)
+            .otherwise(99999L).as("time_out"))
+        .select(col("doc_id"),
+          GraftFunctions.clampTimeout(col("time_out")).as("clamped"))
+        .orderBy("doc_id")
+    }),
+
+    "o3_payload_base64" -> ((s, dir) => {
+      Transcripts.documents(s, dir)
+        .select(col("doc_id"), Transcripts.base64Std(col("text")).as("b64"))
+        .withColumn("roundtrip", unbase64(col("b64")).cast("string"))
+        .orderBy("doc_id")
+    }),
+
+    "o22_metrics" -> ((s, dir) => {
+      val transcripts = Transcripts.fromDocuments(s, dir)
+      ExtractPipeline.metrics(ExtractPipeline.extract(s, transcripts))
+        .select(col("status"), col("engine"), col("n_rows"),
+          col("chars_out"))
+        .orderBy("status", "engine")
+    })
+  )
+
+  def oracleSql: Map[String, String] = {
+    // shared transcript derivation (must mirror Transcripts.fromDocuments)
+    val derive =
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         'conv-' || lpad(CAST(doc_id % 50 AS VARCHAR), 4, '0') AS conv_id,
+        |         CAST(doc_id // 50 AS INTEGER) AS turn_idx,
+        |         doc_id % 10 AS cls
+        |  FROM documents
+        |)""".stripMargin
+    val expectedText =
+      """CASE
+        |    WHEN cls IN (0,1,6) THEN text
+        |    WHEN cls = 2 THEN upper(text)
+        |    WHEN cls = 3 THEN 'Error processing image url: ' || conv_id || '#' || turn_idx || '.  Error: Could not find outfile.  Basename: <tmp> Extensions: [txt hocr json]'
+        |    WHEN cls IN (4,5) THEN 'mock engine decoder response'
+        |    WHEN cls IN (7,8) THEN to_base64(encode(text || chr(10) || chr(12)))
+        |    ELSE 'Error processing image url: ' || conv_id || '#' || turn_idx || '.  Error: file format not understood'
+        |  END""".stripMargin
+    val expectedStatus =
+      "CASE WHEN cls IN (3,9) THEN 'error' WHEN cls IN (4,5) THEN '' ELSE 'done' END"
+    val expectedEngine =
+      "CASE WHEN cls IN (4,5) THEN 'mock' WHEN cls IN (7,8,9) THEN 'sandwich' ELSE 'tesseract' END"
+
+    Map(
+      "e2e_extract" ->
+        s"""$derive
+           |SELECT conv_id, turn_idx,
+           |  $expectedText AS text,
+           |  $expectedStatus AS status,
+           |  $expectedEngine AS engine
+           |FROM t ORDER BY conv_id, turn_idx""".stripMargin,
+
+      "o11_extract_html" ->
+        "SELECT doc_id, text FROM documents ORDER BY doc_id",
+
+      "o12_extract_pdf" ->
+        "SELECT doc_id, to_base64(encode(text || chr(10) || chr(12))) AS text_b64 FROM documents ORDER BY doc_id",
+
+      "o7_swt_preprocessor" ->
+        "SELECT doc_id, upper(text) AS inverted, text AS kept FROM documents ORDER BY doc_id",
+
+      "o8_convert_pdf" ->
+        "SELECT doc_id, text || chr(10) || chr(12) AS text FROM documents ORDER BY doc_id",
+
+      "o4_payload_sniff" ->
+        """SELECT doc_id,
+          |  CASE
+          |    WHEN doc_id % 4 = 0 THEN 'PDF'
+          |    WHEN doc_id % 4 IN (1,2) THEN 'TIFF'
+          |    ELSE 'UNKNOWN'
+          |  END AS file_type
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "o5_chain_reverse" ->
+        """SELECT doc_id,
+          |  array_to_string(list_reverse(string_split(
+          |    CASE
+          |      WHEN doc_id % 3 = 0 THEN 'identity'
+          |      WHEN doc_id % 3 = 1 THEN 'identity,stroke-width-transform'
+          |      ELSE 'stroke-width-transform,convert-pdf,identity'
+          |    END, ',')), ',') || ',engine' AS exec_order
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "o9_engine_dispatch" ->
+        """SELECT doc_id,
+          |  CASE doc_id % 7
+          |    WHEN 0 THEN 'tesseract' WHEN 1 THEN 'SANDWICH' WHEN 2 THEN 'Mock'
+          |    WHEN 3 THEN 'go_tesseract' WHEN 4 THEN 'bogus_engine' WHEN 5 THEN ''
+          |    ELSE 'TESSERACT' END AS engine_str,
+          |  CASE upper(CASE doc_id % 7
+          |    WHEN 0 THEN 'tesseract' WHEN 1 THEN 'SANDWICH' WHEN 2 THEN 'Mock'
+          |    WHEN 3 THEN 'go_tesseract' WHEN 4 THEN 'bogus_engine' WHEN 5 THEN ''
+          |    ELSE 'TESSERACT' END)
+          |    WHEN 'TESSERACT' THEN 'tesseract' WHEN 'GO_TESSERACT' THEN 'go_tesseract'
+          |    WHEN 'SANDWICH' THEN 'sandwich' WHEN 'MOCK' THEN 'mock'
+          |    ELSE 'mock' END AS resolved,
+          |  (doc_id % 7 != 3) AS supported
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "o10_mock_engine" ->
+        "SELECT doc_id, 'mock engine decoder response' AS text, '' AS status FROM documents ORDER BY doc_id",
+
+      "o14_priority" ->
+        """SELECT doc_id,
+          |  CASE doc_id % 4 WHEN 0 THEN '' WHEN 1 THEN 'standard' WHEN 2 THEN 'egov' ELSE 'unknown-class' END AS doc_type,
+          |  CAST(CASE doc_id % 4 WHEN 2 THEN 9 ELSE 1 END AS INTEGER) AS priority
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "o15_timeout_clamp" ->
+        """SELECT doc_id,
+          |  CAST(CASE doc_id % 4 WHEN 1 THEN 60 ELSE 28800 END AS BIGINT) AS clamped
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "o3_payload_base64" ->
+        "SELECT doc_id, to_base64(encode(text)) AS b64, text AS roundtrip FROM documents ORDER BY doc_id",
+
+      "o22_metrics" ->
+        s"""$derive
+           |SELECT
+           |  $expectedStatus AS status,
+           |  $expectedEngine AS engine,
+           |  count(*) AS n_rows,
+           |  CAST(sum(length($expectedText)) AS BIGINT) AS chars_out
+           |FROM t GROUP BY 1, 2 ORDER BY status, engine""".stripMargin
+    )
+  }
 }

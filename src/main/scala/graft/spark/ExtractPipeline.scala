@@ -1,0 +1,109 @@
+package graft.spark
+
+import graft.core.{Engines, Extractor}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The Spark-native extraction pipeline — the whole reference request
+  * lifecycle (`/root/reference/ocr_rpc_client.go` + `ocr_rpc_worker.go` +
+  * the preprocessor workers) as ONE fused typed stage:
+  *
+  *   scan -> salted repartition (replaces the RabbitMQ work queue, O16) ->
+  *   mapPartitions(parse + chain + engine, O5-O15/O17) -> write (O18).
+  *
+  * Scale design notes (100 TB / 10^12 turns):
+  *   - The per-turn path is a NARROW map: exactly one shuffle (the salted
+  *     repartition), no joins, no aggregation. Throughput scales linearly
+  *     with executors as long as partitions are balanced.
+  *   - Skew: the reference has none ("one doc = one worker message"); at
+  *     10^12 turns heavy-tailed payloads would stall partitions. Rows whose
+  *     payload exceeds [[heavyThreshold]] get a PER-ROW salt (uniform
+  *     spread), light rows salt by conv_id (locality for downstream
+  *     conversation-level consumers).
+  *   - Correlation-id matching (O17) is row identity through the map — no
+  *     result join needed.
+  */
+object ExtractPipeline {
+
+  /** Input projection of the transcript table (only the columns the kernel
+    * needs — lets Parquet prune `role`/`ts`).
+    */
+  final case class TurnLite(conv_id: String, turn_idx: Int, text: String, tool: String)
+
+  /** Output row + per-row micro-metrics (O22 analog). */
+  final case class Extracted(
+      conv_id: String,
+      turn_idx: Int,
+      text: String,
+      status: String,
+      engine: String,
+      n_chars_in: Int,
+      n_chars_out: Int
+  )
+
+  /** Payloads above this many chars are considered skew-heavy and get a
+    * per-row salt (long-document salting per the north rule).
+    */
+  val heavyThreshold: Int = 1 << 20
+
+  def saltColumn(numPartitions: Int) = {
+    val payloadLen = length(coalesce(col("text"), lit(""))) +
+      length(coalesce(col("tool"), lit("")))
+    when(payloadLen > heavyThreshold, xxhash64(col("conv_id"), col("turn_idx")))
+      .otherwise(pmod(xxhash64(col("conv_id")), lit(numPartitions)).cast("long"))
+  }
+
+  /** Run the extraction over a transcript-shaped DataFrame. */
+  def extract(
+      spark: SparkSession,
+      transcripts: DataFrame,
+      numPartitions: Int = 0,
+      config: Engines.CoreConfig = Engines.CoreConfig()
+  ): Dataset[Extracted] = {
+    import spark.implicits._
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    transcripts
+      .select(col("conv_id"), col("turn_idx").cast("int").as("turn_idx"),
+        col("text"), col("tool"))
+      .repartition(parts, saltColumn(parts)) // O16: the only shuffle
+      .as[TurnLite]
+      .mapPartitions { rows =>
+        // one fused iterator: deserialize once, run chain+engine, serialize
+        // once (SURVEY.md §4 whole-stage note)
+        rows.map { t =>
+          val r = Extractor.extractTurn(t.conv_id, t.turn_idx, t.text, t.tool, config)
+          Extracted(
+            t.conv_id, t.turn_idx, r.text, r.status, r.engine,
+            (if (t.text == null) 0 else t.text.length) + (if (t.tool == null) 0 else t.tool.length),
+            if (r.text == null) 0 else r.text.length)
+        }
+      }
+  }
+
+  /** Extraction + stable-ordered write (the equality contract orders by
+    * (conv_id, turn_idx); we sort within partitions for run-length locality
+    * and deterministic files).
+    */
+  def run(
+      spark: SparkSession,
+      transcripts: DataFrame,
+      outDir: String,
+      numPartitions: Int = 0
+  ): Unit =
+    extract(spark, transcripts, numPartitions)
+      .sortWithinPartitions("conv_id", "turn_idx")
+      .write.mode("overwrite").parquet(outDir)
+
+  /** Per-partition extraction metrics (O22: the Prometheus counters as a
+    * metrics table): rows, errors, chars in/out per status+engine.
+    */
+  def metrics(extracted: Dataset[Extracted]): DataFrame =
+    extracted
+      .groupBy(col("status"), col("engine"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("n_chars_in")).cast("long").as("chars_in"),
+        sum(col("n_chars_out")).cast("long").as("chars_out"))
+}

@@ -1,0 +1,97 @@
+package graft.spark
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic transcript derivation — maps the driver's `documents`
+  * parquet onto the `input_hint` transcript shape
+  * `(conv_id, turn_idx, role, text, tool, ts)` with the FIXTURES.md §4
+  * payload-class mix. Pure Catalyst expressions (whole-stage codegen, no
+  * UDFs), so the exact same derivation is expressible in the DuckDB oracle
+  * SQL — every step below has a one-to-one ANSI-SQL equivalent.
+  *
+  * Payload classes by `doc_id % 10` (FIXTURES.md §4 mix):
+  *   0..3  html/tesseract (40%): plain, psm 6, swt(darkOnLight=0) chain, psm 0 (error)
+  *   4..5  mock (stringy + int enum form w/ doc_type+time_out)  (20%)
+  *   6     plain text, empty tool (engine = Go zero value = tesseract) (10%)
+  *   7..8  base64 payloads for sandwich: embedded PDF, embedded TIFF (20%)
+  *   9     error-inducing: sandwich with a non-PDF/TIFF payload (10%)
+  */
+object Transcripts {
+
+  val Conversations = 50
+
+  /** Canonical (unchunked) standard base64 of a column. Spark's `base64`
+    * can emit MIME-chunked output (76-char lines joined by \r\n) depending
+    * on `spark.sql.chunkBase64String`; stripping the line breaks yields the
+    * canonical encoding regardless of session conf — matching
+    * `base64.StdEncoding` (`/root/reference/ocr_request.go:43`) and
+    * java.util.Base64.
+    */
+  def base64Std(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(base64(c.cast("binary")), lit("[\\r\\n]"), lit(""))
+
+  /** The HTML boilerplate template wrapped around each document's text for
+    * the tesseract-analog classes.
+    */
+  def htmlWrap(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(
+      lit("<html><head><title>Doc</title></head><body>" +
+        "<nav>Home | <a href=\"/about\">About</a></nav><div id=\"main\"><p>"),
+      text,
+      lit("</p></div><footer>(c) 2026 corpus</footer></body></html>")
+    )
+
+  /** Minimal single-stream PDF carrying `text` — columnar twin of
+    * `graft.core.Pdf.synthesize` (same operator subset; parsed by the same
+    * reader).
+    */
+  def pdfWrap(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val esc = regexp_replace(
+      regexp_replace(regexp_replace(text, lit("\\\\"), lit("\\\\\\\\")), lit("\\("), lit("\\\\(")),
+      lit("\\)"), lit("\\\\)"))
+    val stream = concat(lit("BT /F1 12 Tf 72 720 Td ("), esc, lit(") Tj ET"))
+    concat(
+      lit("%PDF-1.4\n1 0 obj << /Length "), length(stream), lit(" >> stream\n"),
+      stream, lit("\nendstream\n%%EOF\n"))
+  }
+
+  def documents(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  /** Derive the transcript table from `documents`. */
+  def fromDocuments(spark: SparkSession, sfDir: String): DataFrame = {
+    val doc = documents(spark, sfDir)
+    val cls = pmod(col("doc_id"), lit(10))
+    val text = col("text")
+    val b64pdf = base64Std(pdfWrap(text))
+    val b64tiff = base64Std(concat(lit("II*"), expr("char(0)"), text))
+    val b64garbage = base64Std(concat(lit("garbage:"), text))
+
+    doc.select(
+      concat(lit("conv-"), lpad(pmod(col("doc_id"), lit(Conversations)).cast("string"), 4, "0"))
+        .as("conv_id"),
+      expr(s"CAST(doc_id DIV $Conversations AS INT)").as("turn_idx"),
+      when(pmod(col("doc_id"), lit(3)) === 0, "user")
+        .when(pmod(col("doc_id"), lit(3)) === 1, "assistant")
+        .otherwise("tool").as("role"),
+      when(cls <= 3, htmlWrap(text)).otherwise(text).as("text"),
+      when(cls === 0, lit("""{"engine":"tesseract"}"""))
+        .when(cls === 1, lit("""{"engine":"tesseract","engine_args":{"psm":"6","lang":"eng"}}"""))
+        .when(cls === 2, lit(
+          """{"engine":"tesseract","preprocessors":["stroke-width-transform"],"preprocessor-args":{"stroke-width-transform":"0"}}"""))
+        .when(cls === 3, lit("""{"engine":"tesseract","engine_args":{"psm":"0"}}"""))
+        .when(cls === 4, lit("""{"engine":"mock"}"""))
+        .when(cls === 5, lit("""{"engine":3,"doc_type":"standard","time_out":60}"""))
+        .when(cls === 6, lit(""))
+        .when(cls === 7, concat(lit("""{"engine":"sandwich","img_base64":""""), b64pdf,
+          lit("""","engine_args":{"ocr_type":"txt"}}""")))
+        .when(cls === 8, concat(lit("""{"engine":"SANDWICH","img_base64":""""), b64tiff,
+          lit("""","engine_args":{"ocr_type":"TXT","lang":"deu"}}""")))
+        .otherwise(concat(lit("""{"engine":"sandwich","img_base64":""""), b64garbage,
+          lit("""","engine_args":{"ocr_type":"txt"}}""")))
+        .as("tool"),
+      timestamp_seconds(col("doc_id")).as("ts")
+    )
+  }
+}

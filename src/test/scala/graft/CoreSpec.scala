@@ -1,0 +1,343 @@
+package graft
+
+import graft.core._
+import graft.model._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit specs for the pure extraction kernel — the reference's unit tests
+  * (`ocr_engine_test.go`, `tesseract_engine_test.go`, `sandwich_engine_test.go`,
+  * `stroke_width_transform_test.go`) recast per FIXTURES.md §2, plus the
+  * semantic quirks pinned in SURVEY.md §7.4.
+  */
+class CoreSpec extends AnyFunSuite {
+
+  private def parse(tool: String, id: String = "c#0"): ExtractRequest =
+    RequestJson.parse(id, tool).fold(e => fail(s"parse failed: $e"), identity)
+
+  // --- engine enum decoding (ocr_engine_test.go:12-22, ocr_engine.go:50-80)
+
+  test("engine decode: string forms, case-insensitive") {
+    assert(parse("""{"img_url":"foo", "engine":"tesseract"}""").engine == Engine.Tesseract)
+    assert(parse("""{"engine":"SANDWICH"}""").engine == Engine.Sandwich)
+    assert(parse("""{"engine":"sandwich"}""").engine == Engine.Sandwich)
+    assert(parse("""{"engine":"Mock"}""").engine == Engine.Mock)
+    assert(parse("""{"engine":"go_tesseract"}""").engine == Engine.GoTesseract)
+  }
+
+  test("engine decode: unknown string defaults to mock (ocr_engine.go:64-66)") {
+    assert(parse("""{"engine":"bogus_engine"}""").engine == Engine.Mock)
+    assert(parse("""{"engine":""}""").engine == Engine.Mock)
+  }
+
+  test("engine decode: bare ints accepted verbatim (ocr_engine.go:73-76)") {
+    assert(parse("""{"engine":0}""").engine == Engine.Tesseract)
+    assert(parse("""{"engine":1}""").engine == Engine.GoTesseract)
+    assert(parse("""{"engine":2}""").engine == Engine.Sandwich)
+    assert(parse("""{"engine":3}""").engine == Engine.Mock)
+    assert(parse("""{"engine":7}""").engine == Engine.Unsupported(7))
+  }
+
+  test("engine decode: absent engine = Go zero value = tesseract") {
+    assert(parse("""{"img_url":"foo"}""").engine == Engine.Tesseract)
+    assert(parse("").engine == Engine.Tesseract)
+    assert(parse(null).engine == Engine.Tesseract)
+  }
+
+  // --- tesseract arg parsing (tesseract_engine_test.go:67-78)
+
+  test("tesseract args: full matrix") {
+    assert(Engines.parseTesseractArgs(None) == Right(Engines.TesseractArgs(Map.empty, "", "")))
+    assert(Engines.parseTesseractArgs(Some(Map.empty)) == Right(Engines.TesseractArgs(Map.empty, "", "")))
+    val req = parse(
+      """{"engine":"tesseract", "engine_args":{"config_vars":{"tessedit_char_whitelist":"0123456789"}, "psm":"0", "lang":"jpn"}}""")
+    val args = Engines.parseTesseractArgs(req.engineArgs).toOption.get
+    assert(args.configVars == Map("tessedit_char_whitelist" -> "0123456789"))
+    assert(args.psm == "0")
+    assert(args.lang == "jpn")
+  }
+
+  test("tesseract args: non-string values error with reference messages") {
+    assert(Engines.parseTesseractArgs(Some(Map("psm" -> JVal.JNum(6)))) ==
+      Left("could not convert psm into string: 6"))
+    assert(Engines.parseTesseractArgs(Some(Map("lang" -> JVal.JBool(true)))) ==
+      Left("could not convert lang into string: true"))
+    assert(Engines.parseTesseractArgs(
+      Some(Map("config_vars" -> JVal.JObj(Map("k" -> JVal.JNum(1)))))) ==
+      Left("could not convert configVar into string: 1"))
+  }
+
+  // --- sandwich arg parsing (sandwich_engine_test.go:74-86)
+
+  test("sandwich args: full matrix incl. ocr_type and result_optimize") {
+    val req = parse(
+      """{"engine":"sandwich", "engine_args":{"lang":"deu", "ocr_type":"ocrlayeronly","result_optimize":true}}""")
+    val args = Engines.parseSandwichArgs(req.engineArgs).toOption.get
+    assert(args.lang == "deu" && args.ocrType == "ocrlayeronly" && args.resultOptimize)
+    assert(Engines.parseSandwichArgs(Some(Map("result_optimize" -> JVal.JStr("yes")))) ==
+      Left("could not convert into boolean: yes"))
+    assert(Engines.parseSandwichArgs(Some(Map("ocr_type" -> JVal.JNum(1)))) ==
+      Left("could not convert into string: 1"))
+  }
+
+  // --- stroke-width-transform param (stroke_width_transform_test.go:10-30)
+
+  test("swt param: explicit 0, default 1, invalid ignored") {
+    val r0 = parse("""{"img_url":"foo", "engine":"tesseract", "preprocessor-args":{"stroke-width-transform":"0"}}""")
+    assert(Preprocessors.extractDarkOnLightParam(r0) == "0")
+    val r1 = parse("""{"engine":"tesseract"}""")
+    assert(Preprocessors.extractDarkOnLightParam(r1) == "1")
+    val r2 = parse("""{"preprocessor-args":{"stroke-width-transform":"2"}}""")
+    assert(Preprocessors.extractDarkOnLightParam(r2) == "1")
+    val r3 = parse("""{"preprocessor-args":{"stroke-width-transform":0}}""")
+    assert(Preprocessors.extractDarkOnLightParam(r3) == "1")
+  }
+
+  test("swt transform: darkOnLight=0 inverts polarity (case)") {
+    val out = Preprocessors.strokeWidthTransform(Payload.bytes("Hello World"), "0")
+    assert(Payload.utf8(out) == "hELLO wORLD")
+    val keep = Preprocessors.strokeWidthTransform(Payload.bytes("HelloWorld"), "1")
+    assert(Payload.utf8(keep) == "HelloWorld") // control noise stripped
+  }
+
+  // --- chain order (ocr_request.go:30-40): tail-pop = reverse list order
+
+  test("preprocessor chain executes in reverse list order before the engine") {
+    // chain [swt, identity]: identity runs FIRST, then swt
+    val req = parse(
+      """{"engine":"mock", "preprocessors":["stroke-width-transform","identity"],
+         "preprocessor-args":{"stroke-width-transform":"0"}}""")
+    val out = Preprocessors.runChain(req, Payload.bytes("Ab"))
+    assert(out == Right(Payload.bytes("aB")).map(Payload.utf8).map(Payload.bytes) || Payload.utf8(out.toOption.get) == "aB")
+    // order-sensitive witness: [convert-pdf, swt] means swt runs first then
+    // convert-pdf; swt corrupts nothing here, convert-pdf then fails on
+    // non-PDF input. The flipped chain [swt, convert-pdf] would fail at the
+    // same place — use a case-inversion witness instead:
+    val pdf = Pdf.synthesize("Payload Text")
+    // [swt(0), convert-pdf]: convert-pdf runs FIRST (tail), then swt inverts
+    val req2 = parse(
+      """{"engine":"mock", "preprocessors":["stroke-width-transform","convert-pdf"],
+         "preprocessor-args":{"stroke-width-transform":"0"}}""")
+    val out2 = Preprocessors.runChain(req2.copy(imgBytes = pdf), pdf).map(Payload.utf8)
+    // swt runs second: inverts case AND strips the \f page terminator (control noise)
+    assert(out2 == Right("pAYLOAD tEXT\n"))
+    // [convert-pdf, swt(0)]: swt runs FIRST and corrupts the PDF header ->
+    // convert-pdf then rejects it
+    val req3 = parse(
+      """{"engine":"mock", "preprocessors":["convert-pdf","stroke-width-transform"],
+         "preprocessor-args":{"stroke-width-transform":"0"}}""")
+    val out3 = Preprocessors.runChain(req3, pdf)
+    assert(out3 == Left("convert-pdf: input is not a PDF"))
+  }
+
+  test("unknown preprocessor errors (preprocessor_rpc_worker.go:35-38)") {
+    val req = parse("""{"engine":"mock", "preprocessors":["nope"]}""")
+    assert(Preprocessors.runChain(req, Payload.bytes("x")) == Left("unknown preprocessor: nope"))
+  }
+
+  // --- payload sniffing (ocr_util.go:114-132)
+
+  test("detectFileType: magic bytes exactly") {
+    assert(Payload.detectFileType("%PDF-1.4".getBytes) == "PDF")
+    assert(Payload.detectFileType(Array[Byte](0x49, 0x49, 0x2a, 0x00, 0x01)) == "TIFF")
+    assert(Payload.detectFileType(Array[Byte](0x4d, 0x4d, 0x00, 0x2a, 0x01)) == "TIFF")
+    assert(Payload.detectFileType("garbage".getBytes) == "UNKNOWN")
+    assert(Payload.detectFileType("%PD".getBytes) == "UNKNOWN") // len>3 guard
+    assert(Payload.detectFileType(Array.emptyByteArray) == "UNKNOWN")
+  }
+
+  // --- engines
+
+  test("mock engine: golden anchor, status left empty (mock_engine.go:3-10)") {
+    val r = Extractor.extractTurn("c", 0, "anything", """{"engine":"mock"}""")
+    assert(r.text == "mock engine decoder response")
+    assert(r.status == "")
+    assert(r.engine == "mock")
+  }
+
+  test("go_tesseract and out-of-range int engines become error rows") {
+    val r = Extractor.extractTurn("c", 1, "x", """{"engine":"go_tesseract"}""")
+    assert(r.status == "error")
+    assert(r.text == "Error processing image url: c#1.  Error: engine is not implemented: go_tesseract")
+    val r2 = Extractor.extractTurn("c", 2, "x", """{"engine":9}""")
+    assert(r2.status == "error")
+    assert(r2.text == "Error processing image url: c#2.  Error: engine is not implemented: 9")
+  }
+
+  test("tesseract: plain text is whitespace-normalized") {
+    val r = Extractor.extractTurn("c", 0, "  hello   world \n ok ", null)
+    assert(r.status == "done" && r.engine == "tesseract")
+    assert(r.text == "hello world ok")
+  }
+
+  test("tesseract: html boilerplate strip keeps main content only") {
+    val html =
+      """<html><head><title>Ignore Me</title><style>p{color:red}</style></head>
+        |<body><nav>Home | About | <a href="/x">Login</a></nav>
+        |<div id="main"><p>The quick brown fox jumps over the lazy dog.</p></div>
+        |<footer>(c) 2026 Example Corp</footer>
+        |<script>alert(1)</script></body></html>""".stripMargin
+    val r = Extractor.extractTurn("c", 0, html, """{"engine":"tesseract"}""")
+    assert(r.text == "The quick brown fox jumps over the lazy dog.")
+    assert(r.status == "done")
+  }
+
+  test("tesseract: char whitelist filters output (tesseract_engine_test.go:22-29)") {
+    val r = Extractor.extractTurn("c", 0, "abc 123 def 456",
+      """{"engine":"tesseract","engine_args":{"config_vars":{"tessedit_char_whitelist":"0123456789"}}}""")
+    assert(r.text == "123 456")
+  }
+
+  test("tesseract: psm 0 = OSD only -> no outfile -> error (tesseract_engine.go:236-250)") {
+    val r = Extractor.extractTurn("c", 3, "text", """{"engine":"tesseract","engine_args":{"psm":"0"}}""")
+    assert(r.status == "error")
+    assert(r.text.startsWith("Error processing image url: c#3.  Error: Could not find outfile."))
+  }
+
+  test("tesseract: invalid psm errors; psm 6 joins blocks with single newline") {
+    val bad = Extractor.extractTurn("c", 0, "x", """{"engine":"tesseract","engine_args":{"psm":"banana"}}""")
+    assert(bad.status == "error")
+    val html = "<body><p>First paragraph of content here.</p><p>Second paragraph of content here.</p></body>"
+    val d = Extractor.extractTurn("c", 0, html, """{"engine":"tesseract"}""")
+    assert(d.text == "First paragraph of content here.\n\nSecond paragraph of content here.")
+    val s6 = Extractor.extractTurn("c", 0, html, """{"engine":"tesseract","engine_args":{"psm":"6"}}""")
+    assert(s6.text == "First paragraph of content here.\nSecond paragraph of content here.")
+  }
+
+  test("sandwich: txt path extracts pdf text and base64-encodes (sandwich_engine.go:484-487)") {
+    val pdf = Pdf.synthesize("hello pdf world")
+    val b64 = Payload.encodeBase64(pdf)
+    val r = Extractor.extractTurn("c", 0, "",
+      s"""{"engine":"sandwich","img_base64":"$b64","engine_args":{"ocr_type":"txt"}}""")
+    assert(r.status == "done" && r.engine == "sandwich")
+    assert(Payload.utf8(Payload.decodeBase64(r.text).toOption.get) == "hello pdf world\n\f")
+  }
+
+  test("sandwich: pdf literal escapes round-trip") {
+    val text = "a (nested) \\ back\\slash\nline2\ttab"
+    assert(Pdf.extractText(Pdf.synthesize(text)) == Right(text + "\n\f"))
+  }
+
+  test("sandwich: UNKNOWN payload -> wrapped 'file format not understood'") {
+    val b64 = Payload.encodeBase64("not a pdf at all".getBytes)
+    val r = Extractor.extractTurn("c", 5, "",
+      s"""{"engine":"sandwich","img_base64":"$b64","engine_args":{"ocr_type":"txt"}}""")
+    assert(r.status == "error")
+    assert(r.text == "Error processing image url: c#5.  Error: file format not understood")
+  }
+
+  test("sandwich: empty payload -> EOF (readFirstBytes on empty file)") {
+    val r = Extractor.extractTurn("c", 6, "", """{"engine":"sandwich","engine_args":{"ocr_type":"txt"}}""")
+    assert(r.status == "error")
+    assert(r.text == "Error processing image url: c#6.  Error: EOF")
+  }
+
+  test("sandwich: absent/unknown ocr_type -> 'requested output format is not supported'") {
+    val b64 = Payload.encodeBase64(Pdf.synthesize("x y z"))
+    val none = Extractor.extractTurn("c", 7, "", s"""{"engine":"sandwich","img_base64":"$b64"}""")
+    assert(none.status == "error")
+    assert(none.text == "Error processing image url: c#7.  Error: requested output format is not supported")
+    val unk = Extractor.extractTurn("c", 8, "",
+      s"""{"engine":"sandwich","img_base64":"$b64","engine_args":{"ocr_type":"weird"}}""")
+    assert(unk.text.endsWith("requested output format is not supported"))
+  }
+
+  test("sandwich: ocr_type is case-insensitive (ToUpper, sandwich_engine.go:376)") {
+    val b64 = Payload.encodeBase64(Pdf.synthesize("case test"))
+    val r = Extractor.extractTurn("c", 0, "",
+      s"""{"engine":"sandwich","img_base64":"$b64","engine_args":{"ocr_type":"TxT"}}""")
+    assert(r.status == "done")
+  }
+
+  test("sandwich: TIFF converts via primary, big-endian TIFF exercises fallback") {
+    val le = Array[Byte](0x49, 0x49, 0x2a, 0x00) ++ Payload.bytes("tiff payload")
+    val b64le = Payload.encodeBase64(le)
+    val r1 = Extractor.extractTurn("c", 0, "",
+      s"""{"engine":"sandwich","img_base64":"$b64le","engine_args":{"ocr_type":"txt"}}""")
+    assert(r1.status == "done")
+    assert(Payload.utf8(Payload.decodeBase64(r1.text).toOption.get) == "tiff payload\n\f")
+    // big-endian: strict "convert" fails, lenient tiff2pdf fallback succeeds
+    val be = Array[Byte](0x4d, 0x4d, 0x00, 0x2a) ++ Payload.bytes("be payload")
+    val r2 = Extractor.extractTurn("c", 0, "",
+      s"""{"engine":"sandwich","img_base64":"${Payload.encodeBase64(be)}","engine_args":{"ocr_type":"txt"}}""")
+    assert(r2.status == "done")
+    assert(Payload.utf8(Payload.decodeBase64(r2.text).toOption.get) == "be payload\n\f")
+    // both converters fail only on a truncated container
+    assert(Engines.tiffToPdf(Array[Byte](0x49, 0x49, 0x2a, 0x00), "convert").isLeft)
+  }
+
+  test("sandwich: combinedpdf multistamps, result_optimize changes bytes deterministically") {
+    val pdf = Pdf.synthesize("combined content")
+    val b64 = Payload.encodeBase64(pdf)
+    def run(opt: Boolean) = Extractor.extractTurn("c", 0, "",
+      s"""{"engine":"sandwich","img_base64":"$b64","engine_args":{"ocr_type":"combinedpdf","result_optimize":$opt}}""")
+    val plain = run(false); val optimized = run(true)
+    assert(plain.status == "done" && optimized.status == "done")
+    assert(plain.text != optimized.text)
+    val combined = Payload.decodeBase64(plain.text).toOption.get
+    assert(Payload.utf8(combined).startsWith("%PDF")) // original first
+    // ocrlayeronly = just the synthesized text layer
+    val layer = Extractor.extractTurn("c", 0, "",
+      s"""{"engine":"sandwich","img_base64":"$b64","engine_args":{"ocr_type":"ocrlayeronly"}}""")
+    assert(Pdf.extractText(Payload.decodeBase64(layer.text).toOption.get) == Right("combined content\n\f\n\f"))
+  }
+
+  test("sandwich: per-request deadline -> 'command timed out'") {
+    val pdf = Pdf.synthesize("slow")
+    var calls = 0
+    // simulated clock: second reading is past any deadline
+    val clock = () => { calls += 1; if (calls == 1) 0L else Long.MaxValue }
+    val r = Engines.sandwich(pdf, Some(Map("ocr_type" -> JVal.JStr("txt"))), 1L,
+      Engines.CoreConfig(), clock)
+    assert(r == Left("command timed out"))
+  }
+
+  // --- client-side normalization
+
+  test("timeout clamp (ocr_rpc_client.go:87-89)") {
+    assert(Extractor.clampTimeout(0) == 28800L)
+    assert(Extractor.clampTimeout(28800) == 28800L)
+    assert(Extractor.clampTimeout(99999) == 28800L)
+    assert(Extractor.clampTimeout(60) == 60L)
+  }
+
+  test("priority from doc_type (ocr_rpc_client.go:74-85)") {
+    val cfg = Engines.CoreConfig(prioMap = Map("standard" -> 1, "egov" -> 9))
+    assert(Extractor.priority("", cfg) == 1)
+    assert(Extractor.priority("egov", cfg) == 9)
+    assert(Extractor.priority("unknown-type", cfg) == 1) // falls back to standard
+  }
+
+  test("base64 payload: invalid base64 -> error row") {
+    val r = Extractor.extractTurn("c", 9, "", """{"engine":"tesseract","img_base64":"!!!not-base64!!!"}""")
+    assert(r.status == "error")
+    assert(r.text == "Error processing image url: c#9.  Error: illegal base64 data")
+  }
+
+  test("img_url payloads are rejected at scale (inline payloads only)") {
+    val r = Extractor.extractTurn("c", 10, "", """{"engine":"tesseract","img_url":"http://x/y.png"}""")
+    assert(r.status == "error")
+    assert(r.text.contains("url payload acquisition is disabled"))
+  }
+
+  test("unparseable tool json -> 'Error unmarshalling json' (ocr_rpc_worker.go:218-228)") {
+    val r = Extractor.extractTurn("c", 11, "x", """{"engine": nope}""")
+    assert(r.status == "error")
+    assert(r.text.startsWith("Error unmarshalling json: c#11.  Error: "))
+  }
+
+  // --- determinism / properties
+
+  test("extraction is deterministic") {
+    val tool = """{"engine":"tesseract","engine_args":{"psm":"6"}}"""
+    val a = Extractor.extractTurn("c", 0, "<p>some paragraph with content</p>", tool)
+    val b = Extractor.extractTurn("c", 0, "<p>some paragraph with content</p>", tool)
+    assert(a == b)
+  }
+
+  test("identity preprocessor is idempotent; base64 round-trips") {
+    val data = "round trip é中".getBytes("UTF-8")
+    assert(Payload.decodeBase64(Payload.encodeBase64(data)).toOption.get.sameElements(data))
+    val req = parse("""{"preprocessors":["identity","identity"]}""")
+    assert(Preprocessors.runChain(req, data).toOption.get.sameElements(data))
+  }
+}
