@@ -1,0 +1,92 @@
+package graft
+
+import graft.spark.{ExtractPipeline, Lineage, Transcripts}
+import graft.streaming.StreamPipeline
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pipeline-level property queries: salt invariance (O16), checkpointed
+  * lineage (O19), and the Structured-Streaming form (SURVEY.md §2.10).
+  */
+object ExtraQueries {
+
+  /** Salt invariance: the extraction output must be identical no matter how
+    * the work is distributed (4 vs 16 partitions) — the property the
+    * reference gets for free from per-message queueing and we must guarantee
+    * under salted repartition. Output: one row (n_total, n_mismatch=0).
+    */
+  private def saltInvariance(s: SparkSession, dir: String): DataFrame = {
+    val transcripts = Transcripts.fromDocuments(s, dir)
+    def run(parts: Int) =
+      ExtractPipeline.extract(s, transcripts, numPartitions = parts)
+        .select("conv_id", "turn_idx", "text", "status", "engine")
+    val a = run(4).as("a")
+    val b = run(16).as("b")
+    val joined = a.join(b, Seq("conv_id", "turn_idx"), "full")
+    val mismatch = joined.filter(
+      col("a.text").isNull || col("b.text").isNull ||
+        col("a.text") =!= col("b.text") ||
+        col("a.status") =!= col("b.status") ||
+        col("a.engine") =!= col("b.engine"))
+    val total = run(4).count()
+    s.range(1).select(
+      lit(total).cast("long").as("n_total"),
+      lit(mismatch.count()).cast("long").as("n_mismatch"))
+  }
+
+  /** Run the lineage-checkpointed pipeline in two chunks (simulating a crash
+    * after 3 buckets + resume) into a fresh temp dir; return the lineage
+    * table. n_rows per bucket is hash-dependent (not SQL-expressible) so this
+    * is a rows-only check; the invariants are pinned by PipelineSpec.
+    */
+  private def lineageRun(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_lineage_").toString
+    val transcripts = Transcripts.fromDocuments(s, dir)
+    Lineage.run(s, transcripts, out, numBuckets = 8, maxBucketsThisRun = 3)
+    Lineage.run(s, transcripts, out, numBuckets = 8) // resume: remaining 5
+    Lineage.readLineage(s, out)
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_buckets"), sum(col("n_rows")).cast("long").as("n_rows"))
+      .orderBy("status")
+  }
+
+  /** One-shot Structured-Streaming extraction (Trigger.AvailableNow) over the
+    * derived transcripts; returns per-status counts, which ARE
+    * SQL-expressible -> full oracle for the streaming path.
+    */
+  private def streamingExtract(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_").toString
+    val in = s"$base/in"; val out = s"$base/out"; val cp = s"$base/cp"
+    Transcripts.fromDocuments(s, dir).write.mode("overwrite").parquet(in)
+    StreamPipeline.runAvailableNow(s, in, out, cp)
+    s.read.parquet(out)
+      .groupBy("status").agg(count(lit(1)).as("n_rows"))
+      .orderBy("status")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "o16_salt_invariance" -> ((s, dir) => saltInvariance(s, dir)),
+    "o19_lineage" -> ((s, dir) => lineageRun(s, dir)),
+    "streaming_extract" -> ((s, dir) => streamingExtract(s, dir))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "o16_salt_invariance" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_total, CAST(0 AS BIGINT) AS n_mismatch
+        |FROM documents""".stripMargin,
+
+    // o19_lineage: bucket membership depends on xxhash64 (Spark-internal), so
+    // the per-bucket split has no SQL twin — but the totals do.
+    "o19_lineage" ->
+      """SELECT 'done' AS status, CAST(8 AS BIGINT) AS n_buckets,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM documents""".stripMargin,
+
+    "streaming_extract" ->
+      """SELECT
+        |  CASE WHEN doc_id % 10 IN (3, 9) THEN 'error'
+        |       WHEN doc_id % 10 IN (4, 5) THEN '' ELSE 'done' END AS status,
+        |  count(*) AS n_rows
+        |FROM documents GROUP BY 1 ORDER BY status""".stripMargin
+  )
+}

@@ -31,7 +31,10 @@ object SparkEntry {
       .orderBy("conv_id", "turn_idx")
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = baseQueries ++
+    TrainingQueries.queries ++ ExtraQueries.queries
+
+  private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------------------------------------------------------- extraction
     "e2e_extract" -> ((s, dir) => e2eExtract(s, dir)),
 
@@ -184,7 +187,10 @@ object SparkEntry {
     })
   )
 
-  def oracleSql: Map[String, String] = {
+  def oracleSql: Map[String, String] =
+    baseOracleSql ++ TrainingQueries.oracleSql ++ ExtraQueries.oracleSql
+
+  private def baseOracleSql: Map[String, String] = {
     // shared transcript derivation (must mirror Transcripts.fromDocuments)
     val derive =
       """WITH t AS (

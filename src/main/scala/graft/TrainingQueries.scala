@@ -1,0 +1,247 @@
+package graft
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.spark.Transcripts
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators as driver queries, each with a DuckDB
+  * oracle twin: dedup (exact / n-gram Jaccard / MinHash+LSH / SimHash /
+  * embedding-cosine), ANN (brute force + LSH), text analysis, multimodal
+  * metadata.
+  */
+object TrainingQueries {
+
+  /** Shared DuckDB fragment: explicit sequential-double cosine between two
+    * FLOAT[64] lists `a` and `b` (matches Dedup.cosineExpr op-for-op).
+    */
+  private def duckCosine(a: String, b: String): String = {
+    def sum(e: String) = s"list_sum(list_transform(range(1, 65), i -> $e))"
+    val dot = sum(s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)")
+    val na = sum(s"CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)")
+    val nb = sum(s"CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)")
+    s"($dot) / sqrt(($na) * ($nb))"
+  }
+
+  /** DuckDB fragment: distinct word-3-gram shingles of `text`. */
+  private val duckShingles =
+    """list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+      |  i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))""".stripMargin
+
+  private val duckDupBase =
+    """(SELECT doc_id, text FROM documents
+      | UNION ALL
+      | SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 4 = 0)""".stripMargin
+
+  private def duckMinhash(k: Int): String =
+    s"CAST(list_min(list_transform(grams, g -> CAST('0x' || substr(md5('$k:' || g), 1, 8) AS BIGINT))) AS VARCHAR)"
+
+  private def duckPlaneDot(j: Int): String =
+    s"""list_sum(list_transform(range(1, 65),
+       |  n -> CAST(embedding[n] AS DOUBLE) * (CASE WHEN (n * ${j + 3}) % 7 <= 3 THEN 1.0 ELSE -1.0 END)))""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(Transcripts.documents(s, dir)).orderBy("doc_id")),
+
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.quality(Transcripts.documents(s, dir)).orderBy("doc_id")),
+
+    "text_langid" -> ((s, dir) =>
+      TextAnalysis.langId(Transcripts.documents(s, dir)).orderBy("doc_id")),
+
+    "text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(Transcripts.documents(s, dir)).orderBy("doc_id")),
+
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Transcripts.documents(s, dir)).orderBy("h")),
+
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(Transcripts.documents(s, dir)).orderBy("a_id", "b_id")),
+
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashBands(Transcripts.documents(s, dir)).orderBy("a_id", "b_id")),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash(Transcripts.documents(s, dir)).orderBy("doc_id")),
+
+    "dedup_embedding" -> ((s, dir) =>
+      s.read.parquet(s"$dir/embeddings.parquet")
+        .transform(e => Dedup.embeddingNearDup(e, minCos = 0.8))
+        .orderBy("a_id", "b_id")),
+
+    "ann_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(s.read.parquet(s"$dir/embeddings.parquet"))
+        .orderBy("query_id", "rank")),
+
+    "ann_lsh_topk" -> ((s, dir) =>
+      Similarity.lshTopK(s.read.parquet(s"$dir/embeddings.parquet"))
+        .orderBy("query_id", "rank")),
+
+    "ann_lsh_buckets" -> ((s, dir) =>
+      Similarity.lshBuckets(s.read.parquet(s"$dir/embeddings.parquet"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_vecs"))
+        .orderBy("bucket")),
+
+    "multimodal_meta" -> ((s, dir) => {
+      val media = Multimodal.mediaTable(s, Transcripts.documents(s, dir))
+      Multimodal.decodeMeta(s, media).toDF().orderBy("doc_id")
+    }),
+
+    "multimodal_frames" -> ((s, dir) => {
+      val media = Multimodal.mediaTable(s, Transcripts.documents(s, dir))
+      Multimodal.frameSample(s, media)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_frames"),
+          sum(length(col("frame"))).cast("long").as("bytes_sampled"))
+        .orderBy("doc_id")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |  CAST(length(text) AS INTEGER) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id,
+        |  round(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) * 1.0
+        |        / len(string_split(text, ' ')), 4) AS stopword_ratio,
+        |  round((length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+        |        / len(string_split(text, ' ')), 4) AS mean_token_len,
+        |  round(len(list_distinct(string_split(text, ' '))) * 1.0
+        |        / len(string_split(text, ' ')), 4) AS uniq_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_langid" -> {
+      val counts = TextAnalysis.langStopwords.map { case (lang, words) =>
+        val inList = words.map(w => s"'$w'").mkString(", ")
+        s"CAST(len(list_filter(string_split(text, ' '), x -> x IN ($inList))) AS INTEGER) AS c_$lang"
+      }.mkString(",\n  ")
+      s"""WITH c AS (SELECT doc_id, $counts FROM documents)
+         |SELECT doc_id, c_en, c_de, c_es, c_fr,
+         |  CASE
+         |    WHEN c_en = 0 AND c_de = 0 AND c_es = 0 AND c_fr = 0 THEN 'und'
+         |    WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+         |    WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
+         |    WHEN c_es >= c_fr THEN 'es'
+         |    ELSE 'fr' END AS predicted
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
+
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(replace(text, ' ', '')) AS fp,
+        |  CAST(length(replace(text, ' ', '')) AS INTEGER) AS n_chars_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact" ->
+      s"""SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n_copies
+         |FROM $duckDupBase GROUP BY 1 ORDER BY h""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, $duckShingles AS grams
+         |  FROM documents WHERE len(string_split(text, ' ')) >= 3)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  round(len(list_intersect(a.grams, b.grams)) * 1.0 /
+         |        (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 4)
+         |    AS jaccard
+         |FROM g a JOIN g b ON b.doc_id > a.doc_id AND b.doc_id - a.doc_id <= 2
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      s"""WITH base AS $duckDupBase,
+         |g AS (
+         |  SELECT doc_id, $duckShingles AS grams
+         |  FROM base WHERE len(string_split(text, ' ')) >= 3),
+         |sig AS (
+         |  SELECT doc_id,
+         |    md5(${duckMinhash(0)} || '_' || ${duckMinhash(1)}) AS band0,
+         |    md5(${duckMinhash(2)} || '_' || ${duckMinhash(3)}) AS band1
+         |  FROM g)
+         |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |FROM sig a JOIN sig b
+         |  ON (a.band0 = b.band0 OR a.band1 = b.band1) AND a.doc_id < b.doc_id
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "dedup_simhash" -> {
+      val bitTerms = (0 until Dedup.simhashBits).map { b =>
+        s"(CASE WHEN len(list_filter(hs, x -> ((x >> $b) & 1) = 1)) * 2 > len(hs) THEN ${1 << b} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    list_transform(string_split(text, ' '),
+         |      t -> CAST('0x' || substr(md5(t), 1, 4) AS INTEGER)) AS hs
+         |  FROM documents)
+         |SELECT doc_id, CAST($bitTerms AS INTEGER) AS simhash
+         |FROM h ORDER BY doc_id""".stripMargin
+    },
+
+    "dedup_embedding" ->
+      s"""WITH base AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 10000 AS vec_id,
+         |    list_transform(range(1, 65),
+         |      i -> CASE WHEN i = 1 THEN CAST(embedding[i] AS DOUBLE) + 0.5
+         |                ELSE CAST(embedding[i] AS DOUBLE) END) AS emb
+         |  FROM embeddings),
+         |k AS (SELECT vec_id, vec_id % 10000 AS bucket, emb FROM base)
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  round(${duckCosine("a.emb", "b.emb")}, 6) AS cos
+         |FROM k a JOIN k b ON a.bucket = b.bucket AND b.vec_id > a.vec_id
+         |WHERE round(${duckCosine("a.emb", "b.emb")}, 6) >= 0.8
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "ann_topk" ->
+      s"""WITH s AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(${duckCosine("q.embedding", "c.embedding")}, 6) AS cos
+         |  FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+         |  WHERE q.vec_id < 10),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM s)
+         |SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id, cos
+         |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "ann_lsh_topk" -> {
+      val bits = (0 until Similarity.planes).map { j =>
+        s"(CASE WHEN (${duckPlaneDot(j)}) > 0 THEN ${1 << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding, CAST($bits AS INTEGER) AS bucket FROM embeddings),
+         |s AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(${duckCosine("q.embedding", "c.embedding")}, 6) AS cos
+         |  FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id != q.vec_id
+         |  WHERE q.vec_id < 10),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM s)
+         |SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id, cos
+         |FROM r WHERE rn <= 3 ORDER BY query_id, rank""".stripMargin
+    },
+
+    "ann_lsh_buckets" -> {
+      val bits = (0 until Similarity.planes).map { j =>
+        s"(CASE WHEN (${duckPlaneDot(j)}) > 0 THEN ${1 << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""SELECT CAST($bits AS INTEGER) AS bucket, count(*) AS n_vecs
+         |FROM embeddings GROUP BY 1 ORDER BY bucket""".stripMargin
+    },
+
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(length(text) + 4 AS INTEGER) AS n_bytes,
+        |  CAST((length(text) + 4) % 640 + 16 AS INTEGER) AS width,
+        |  CAST((length(text) + 4) % 480 + 16 AS INTEGER) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE (length(text) + 4) * 3 END AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_frames" ->
+      """SELECT doc_id,
+        |  CAST(4 AS BIGINT) AS n_frames,
+        |  CAST(4 * ((length(text) + 4) // 4) AS BIGINT) AS bytes_sampled
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact (hash-groupBy),
+  * word-n-gram Jaccard, MinHash+LSH banding, SimHash, and embedding-cosine
+  * near-dup. Scale notes per operator:
+  *
+  *   - exact: one hash-shuffle on md5(text); map-side partial agg applies.
+  *   - jaccard: NEVER all-pairs at scale — candidates come from LSH bands
+  *     ([[minhashBands]]); the windowed variant here is the correctness
+  *     harness.
+  *   - minhash: signature is a narrow map; the band bucket-join replaces the
+  *     O(n^2) comparison with equi-joins on band keys (shuffle on band key,
+  *     AQE handles hot buckets).
+  *   - simhash: narrow map to a 16-bit signature; hamming-window join on
+  *     signature prefix at scale.
+  *   - embedding: windowed-pair harness here; the scale path is
+  *     [[Similarity.lshBuckets]] + within-bucket pairing.
+  *
+  * All variants are pure Catalyst expressions, each with a DuckDB-SQL twin.
+  */
+object Dedup {
+
+  /** The dup-injected corpus: documents plus a shifted copy of every 4th doc
+    * (deterministic; gives the dedup operators guaranteed positives). Twin
+    * SQL: `SELECT doc_id, text FROM documents UNION ALL
+    * SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 4 = 0`.
+    */
+  def withInjectedDups(doc: DataFrame): DataFrame = {
+    val base = doc.select(col("doc_id"), col("text"))
+    base.unionAll(
+      base.filter(pmod(col("doc_id"), lit(4)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+  }
+
+  /** Exact dedup: group by content hash, keep the smallest id. */
+  def exact(doc: DataFrame): DataFrame =
+    withInjectedDups(doc)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+
+  /** Distinct word-3-gram shingles of the `text` column. */
+  def shingles(text: Column): Column =
+    expr(
+      s"""array_distinct(transform(sequence(0, size(split(text, ' ')) - 3),
+         |  i -> concat(element_at(split(text, ' '), i + 1), ' ',
+         |              element_at(split(text, ' '), i + 2), ' ',
+         |              element_at(split(text, ' '), i + 3))))""".stripMargin)
+
+  /** N-gram Jaccard over a candidate window (b.doc_id - a.doc_id in 1..2):
+    * |A∩B| / (|A|+|B|-|A∩B|), rounded to 4.
+    */
+  def ngramJaccard(doc: DataFrame): DataFrame = {
+    val g = doc
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), shingles(col("text")).as("grams"))
+    val a = g.as("a")
+    val b = g.as("b")
+    a.join(b,
+        col("b.doc_id") > col("a.doc_id") && col("b.doc_id") - col("a.doc_id") <= 2)
+      .select(
+        col("a.doc_id").as("a_id"),
+        col("b.doc_id").as("b_id"),
+        round(
+          size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
+            (size(col("a.grams")) + size(col("b.grams")) -
+              size(array_intersect(col("a.grams"), col("b.grams")))).cast("double"),
+          4).as("jaccard"))
+  }
+
+  /** One MinHash value: min over shingles of a keyed 32-bit hash derived from
+    * md5 (hex -> int via `conv`; the DuckDB twin is
+    * `CAST('0x' || substr(md5(k || ':' || g), 1, 8) AS BIGINT)`).
+    */
+  private def minhashK(k: Int): String =
+    s"""array_min(transform(grams,
+       |  g -> CAST(conv(substring(md5(concat('$k:', g)), 1, 8), 16, 10) AS BIGINT)))""".stripMargin
+
+  /** MinHash signature (4 hash functions) + 2 LSH bands of 2 hashes each. */
+  def minhashSignature(doc: DataFrame): DataFrame =
+    doc
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), shingles(col("text")).as("grams"))
+      .select(
+        col("doc_id"),
+        expr(minhashK(0)).as("m0"), expr(minhashK(1)).as("m1"),
+        expr(minhashK(2)).as("m2"), expr(minhashK(3)).as("m3"))
+      .select(col("doc_id"),
+        md5(concat(col("m0"), lit("_"), col("m1"))).as("band0"),
+        md5(concat(col("m2"), lit("_"), col("m3"))).as("band1"))
+
+  /** LSH candidate pairs: docs sharing any band bucket. Equi-join on the
+    * band key (this is the whole point: no all-pairs comparison).
+    */
+  def minhashBands(doc: DataFrame): DataFrame = {
+    val sig = minhashSignature(withInjectedDups(doc))
+    def pairsOn(band: String): DataFrame = {
+      val a = sig.as("a")
+      val b = sig.as("b")
+      a.join(b, col(s"a.$band") === col(s"b.$band") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+    }
+    pairsOn("band0").unionAll(pairsOn("band1")).distinct()
+  }
+
+  /** 16-bit SimHash over tokens: bit b set iff the majority of token hashes
+    * have bit b set (strict majority; tie -> 0). Token hash = first 4 md5 hex
+    * chars as int.
+    */
+  val simhashBits = 16
+
+  def simhash(doc: DataFrame): DataFrame = {
+    val withHashes = doc.select(col("doc_id"),
+      expr("transform(split(text, ' '), t -> CAST(conv(substring(md5(t), 1, 4), 16, 10) AS INT))")
+        .as("hs"))
+    val bitTerms = (0 until simhashBits).map { b =>
+      when(expr(s"size(filter(hs, h -> ((h >> $b) & 1) = 1)) * 2 > size(hs)"), 1 << b)
+        .otherwise(0)
+    }
+    withHashes.select(col("doc_id"),
+      bitTerms.reduce(_ + _).cast("int").as("simhash"))
+  }
+
+  /** Embedding-cosine near-dup pairs over a candidate window. The cosine is
+    * written out explicitly (sequential double sums) so the DuckDB twin
+    * computes bit-identical values.
+    */
+  def cosineExpr(a: String, b: String): Column = {
+    val dot = s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+    val na = s"aggregate(transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+    val nb = s"aggregate(transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+    expr(s"$dot / sqrt(($na) * ($nb))")
+  }
+
+  /** Embeddings plus injected near-dups: every vector gets a copy (vec_id +
+    * 10000) with dim 1 shifted by +0.5 — cosine with the original lands near
+    * (but not exactly) 1, giving the near-dup operator guaranteed positives
+    * with per-pair variation. Everything is double math with a DuckDB twin.
+    */
+  def withInjectedNearDups(emb: DataFrame): DataFrame = {
+    val asDouble = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    val perturbed = expr(
+      """transform(sequence(1, 64),
+        |  i -> IF(i = 1, CAST(element_at(embedding, i) AS DOUBLE) + 0.5D,
+        |          CAST(element_at(embedding, i) AS DOUBLE)))""".stripMargin)
+    emb.select(col("vec_id"), asDouble.as("emb"))
+      .unionAll(emb.select((col("vec_id") + 10000L).as("vec_id"), perturbed.as("emb")))
+  }
+
+  /** Near-dup pairs by cosine within a blocking bucket (vec_id % 10000 —
+    * original and its injected copy share the key; this is the equi-join
+    * blocking shape that scales, vs an all-pairs comparison).
+    */
+  def embeddingNearDup(emb: DataFrame, minCos: Double = 0.8): DataFrame = {
+    val base = withInjectedNearDups(emb)
+      .withColumn("bucket", pmod(col("vec_id"), lit(10000L)))
+    val a = base.as("a")
+    val b = base.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("b.vec_id") > col("a.vec_id"))
+      .select(
+        col("a.vec_id").as("a_id"),
+        col("b.vec_id").as("b_id"),
+        round(cosineExpr("a.emb", "b.emb"), 6).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+}

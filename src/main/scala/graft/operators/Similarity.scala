@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (`embedding: array<float>[64]`).
+  *
+  *   - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.
+  *     At scale this is query-batch x broadcast(candidate-partition), only
+  *     viable for small query sets.
+  *   - [[lshBuckets]] / [[lshTopK]]: random-hyperplane LSH — the scale path.
+  *     Bucketing is a narrow map; search becomes an equi-join on bucket id,
+  *     so candidate comparisons drop from O(Q*N) to O(Q*N/2^planes) with a
+  *     plain shuffle join Spark already optimizes (AQE handles hot buckets).
+  *
+  * Hyperplane signs are a deterministic arithmetic pattern (not RNG — keeps
+  * the DuckDB oracle twin exact): sign(plane j, dim n[1-based]) =
+  * +1 if (n * (j + 3)) % 7 <= 3 else -1.
+  */
+object Similarity {
+
+  val dims = 64
+  val planes = 8
+
+  /** Plane-j dot product as a Catalyst expression (sequential double sum —
+    * same order as the DuckDB twin).
+    */
+  private def planeDot(j: Int): String = {
+    s"""aggregate(transform(sequence(1, $dims),
+       |  n -> CAST(element_at(embedding, n) AS DOUBLE) *
+       |       (CASE WHEN (n * (${j + 3})) % 7 <= 3 THEN 1D ELSE -1D END)),
+       |  0D, (acc, v) -> acc + v)""".stripMargin
+  }
+
+  /** Assign every vector to its LSH bucket (bit j = plane-j dot > 0). */
+  def lshBuckets(emb: DataFrame): DataFrame = {
+    val bits = (0 until planes).map { j =>
+      when(expr(planeDot(j)) > 0D, 1 << j).otherwise(0)
+    }
+    emb.select(col("vec_id"), col("embedding"),
+      bits.reduce(_ + _).cast("int").as("bucket"))
+  }
+
+  /** Exact cosine top-k for a small query set (vec_id < nQueries). */
+  def bruteForceTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val scored = q.join(broadcast(c), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Dedup.cosineExpr("qe", "ce"), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"), col("cos"))
+  }
+
+  /** LSH-bucketed top-k: same ranking but candidates restricted to the
+    * query's bucket (equi-join on bucket — the 100 TB shape).
+    */
+  def lshTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 3): DataFrame = {
+    val b = lshBuckets(emb)
+    val q = b.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
+    val c = b.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+      col("bucket"))
+    val scored = q.join(c, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Dedup.cosineExpr("qe", "ce"), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"), col("cos"))
+  }
+}

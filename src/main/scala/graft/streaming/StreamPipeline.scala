@@ -1,0 +1,58 @@
+package graft.streaming
+
+import graft.spark.ExtractPipeline
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming form of the extraction pipeline. The reference IS a
+  * streaming system (unbounded RabbitMQ queue, prefetch flow control,
+  * at-least-once ack — SURVEY.md §2.10); this is the same fused typed stage
+  * dropped into `readStream -> mapPartitions -> writeStream` with
+  * checkpointing standing in for the ack/requeue machinery. Per-record
+  * processing is stateless, exactly like the reference; watermarked windowed
+  * counts stand in for the Prometheus rate metrics (O22).
+  */
+object StreamPipeline {
+
+  val transcriptSchema: StructType = StructType(Seq(
+    StructField("conv_id", StringType),
+    StructField("turn_idx", IntegerType),
+    StructField("role", StringType),
+    StructField("text", StringType),
+    StructField("tool", StringType),
+    StructField("ts", TimestampType)))
+
+  /** One-shot (Trigger.AvailableNow) streaming extraction over a parquet
+    * directory: drains everything available, checkpoints, stops. Restarting
+    * with the same checkpoint skips processed files — the streaming twin of
+    * [[graft.spark.Lineage]].
+    */
+  def runAvailableNow(
+      spark: SparkSession,
+      inputDir: String,
+      outDir: String,
+      checkpointDir: String
+  ): Unit = {
+    val stream = spark.readStream.schema(transcriptSchema).parquet(inputDir)
+    val extracted = ExtractPipeline.extract(spark, stream)
+    val q = extracted.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Watermarked per-minute turn counts by role — the event-time metrics
+    * window the reference lacks (its histograms are processing-time only,
+    * `prometheus_metrics.go:25-32`).
+    */
+  def windowedCounts(transcriptStream: DataFrame): DataFrame =
+    transcriptStream
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 minute"), col("role"))
+      .agg(count(lit(1)).as("n_turns"))
+}

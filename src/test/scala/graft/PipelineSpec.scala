@@ -1,0 +1,151 @@
+package graft
+
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.spark.{ExtractPipeline, Lineage, Transcripts}
+import graft.streaming.StreamPipeline
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end pipeline properties over the sf0.001 tables (FIXTURES.md §3-5):
+  * golden equality, salt/partition invariance, lineage resume, streaming
+  * equivalence, training-data operators.
+  */
+class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  val sfDir = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("pipeline: per-turn golden equality on the mock anchor class") {
+    val out = ExtractPipeline
+      .extract(spark, Transcripts.fromDocuments(spark, sfDir))
+      .filter(col("engine") === "mock")
+      .select("text", "status").distinct().collect()
+    assert(out.length == 1)
+    assert(out(0).getString(0) == "mock engine decoder response")
+    assert(out(0).getString(1) == "")
+  }
+
+  test("pipeline: output is invariant to partition count (salt invariance)") {
+    val t = Transcripts.fromDocuments(spark, sfDir)
+    def run(p: Int) = ExtractPipeline.extract(spark, t, numPartitions = p)
+      .select("conv_id", "turn_idx", "text", "status", "engine")
+      .orderBy("conv_id", "turn_idx").collect().toSeq
+    assert(run(2) == run(7))
+  }
+
+  test("pipeline: heavy rows get per-row salt") {
+    import spark.implicits._
+    val heavyText = "x" * (ExtractPipeline.heavyThreshold + 1)
+    val df = Seq(
+      ("c1", 0, heavyText, ""),
+      ("c1", 1, "small", ""),
+      ("c2", 0, "small", "")).toDF("conv_id", "turn_idx", "text", "tool")
+    val salts = df.select(ExtractPipeline.saltColumn(4).as("salt")).collect().map(_.getLong(0))
+    // light rows of the same conv share a salt in [0, 4); the heavy row's
+    // per-row salt is a raw xxhash64 (unbounded)
+    assert(salts(1) >= 0 && salts(1) < 4)
+    assert(salts(0) < 0 || salts(0) >= 4) // raw hash, virtually never in [0,4)
+  }
+
+  test("lineage: crash after K buckets + resume = identical output, buckets skipped") {
+    val t = Transcripts.fromDocuments(spark, sfDir)
+    val full = tmpDir("graft_full_")
+    Lineage.run(spark, t, full, numBuckets = 8)
+    assert(Lineage.pendingBuckets(spark, full, 8).isEmpty)
+
+    val crashy = tmpDir("graft_crashy_")
+    Lineage.run(spark, t, crashy, numBuckets = 8, maxBucketsThisRun = 3)
+    assert(Lineage.pendingBuckets(spark, crashy, 8).size == 5)
+    val lineageAfterCrash = Lineage.readLineage(spark, crashy)
+      .select("bucket").collect().map(_.getLong(0)).toSet
+    Lineage.run(spark, t, crashy, numBuckets = 8) // resume
+    assert(Lineage.pendingBuckets(spark, crashy, 8).isEmpty)
+    // resumed run processed only the 5 remaining buckets
+    assert(Lineage.readLineage(spark, crashy).count() == 8)
+    assert(lineageAfterCrash.size == 3)
+
+    val a = Lineage.readOutput(spark, full)
+      .select("conv_id", "turn_idx", "text", "status", "engine")
+      .orderBy("conv_id", "turn_idx").collect().toSeq
+    val b = Lineage.readOutput(spark, crashy)
+      .select("conv_id", "turn_idx", "text", "status", "engine")
+      .orderBy("conv_id", "turn_idx").collect().toSeq
+    assert(a == b)
+    val totalRows = Lineage.readLineage(spark, crashy)
+      .agg(sum("n_rows")).collect()(0).getLong(0)
+    assert(totalRows == t.count())
+  }
+
+  test("streaming: availableNow extraction equals the batch result") {
+    val base = tmpDir("graft_streamspec_")
+    val t = Transcripts.fromDocuments(spark, sfDir)
+    t.write.mode("overwrite").parquet(s"$base/in")
+    StreamPipeline.runAvailableNow(spark, s"$base/in", s"$base/out", s"$base/cp")
+    val streamed = spark.read.parquet(s"$base/out")
+      .select("conv_id", "turn_idx", "text", "status", "engine")
+      .orderBy("conv_id", "turn_idx").collect().toSeq
+    val batch = ExtractPipeline.extract(spark, t)
+      .select("conv_id", "turn_idx", "text", "status", "engine")
+      .orderBy("conv_id", "turn_idx").collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("dedup: exact finds exactly the injected duplicates") {
+    val doc = Transcripts.documents(spark, sfDir)
+    val dups = Dedup.exact(doc).filter(col("n_copies") > 1)
+    assert(dups.count() == doc.filter(pmod(col("doc_id"), lit(4)) === 0).count())
+    // keeper is always the original (smaller) id
+    assert(dups.filter(col("keeper") >= 1000000L).count() == 0)
+  }
+
+  test("dedup: minhash LSH candidates include every injected dup pair") {
+    val doc = Transcripts.documents(spark, sfDir)
+    val pairs = Dedup.minhashBands(doc)
+      .filter(col("b_id") === col("a_id") + 1000000L)
+    assert(pairs.count() == doc.filter(pmod(col("doc_id"), lit(4)) === 0).count())
+  }
+
+  test("dedup: injected near-dup embeddings score close to 1") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val pairs = Dedup.embeddingNearDup(emb, minCos = 0.8)
+    assert(pairs.count() == emb.count()) // one injected pair per vector
+    val mins = pairs.agg(min("cos"), max("cos")).collect()(0)
+    assert(mins.getDouble(0) > 0.8 && mins.getDouble(1) <= 1.0)
+  }
+
+  test("ann: lsh top-k is a subset-consistent restriction of brute force") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val bf = Similarity.bruteForceTopK(emb, nQueries = 5, k = 3)
+    assert(bf.groupBy("query_id").count().filter(col("count") =!= 3).count() == 0)
+    val lsh = Similarity.lshTopK(emb, nQueries = 5, k = 3)
+    // lsh candidates are a subset: its best hit can't beat brute force's
+    val bfBest = bf.filter(col("rank") === 1)
+      .select(col("query_id"), col("cos").as("bf_cos"))
+    val lshBest = lsh.filter(col("rank") === 1)
+      .select(col("query_id"), col("cos").as("lsh_cos"))
+    val joined = bfBest.join(lshBest, Seq("query_id"))
+    assert(joined.filter(col("lsh_cos") > col("bf_cos")).count() == 0)
+  }
+
+  test("multimodal: stub decode plumbing produces typed metadata batches") {
+    val doc = Transcripts.documents(spark, sfDir)
+    val meta = Multimodal.decodeMeta(spark, Multimodal.mediaTable(spark, doc))
+    assert(meta.count() == doc.count())
+    assert(meta.filter(col("kind") === "image" && col("duration_ms") =!= 0).count() == 0)
+    val frames = Multimodal.frameSample(spark, Multimodal.mediaTable(spark, doc))
+    assert(frames.groupBy("doc_id").count().filter(col("count") =!= 4).count() == 0)
+  }
+}
