@@ -1,6 +1,6 @@
 package graft
 
-import graft.core.{Engines, Extractor, Payload, Pdf, Preprocessors}
+import graft.core.{Delivery, Engines, Extractor, Multipart, Payload, Pdf, Preprocessors}
 import graft.functions.GraftFunctions
 import graft.spark.{ExtractPipeline, Transcripts}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -184,6 +184,127 @@ object SparkEntry {
         .select(col("status"), col("engine"), col("n_rows"),
           col("chars_out"))
         .orderBy("status", "engine")
+    }),
+
+    // O1: request-JSON source parse, fully columnar (from_json — the analog
+    // of unmarshalling OcrRequest, ocr_http_handler.go:75-84) so the scan +
+    // parse stays inside whole-stage codegen.
+    "o1_parse_request" -> ((s, dir) => {
+      val schema = "engine STRING, doc_type STRING, time_out BIGINT, " +
+        "preprocessors ARRAY<STRING>, img_base64 STRING"
+      Transcripts.fromDocuments(s, dir)
+        .select(col("conv_id"), col("turn_idx"),
+          from_json(col("tool"), org.apache.spark.sql.types.StructType.fromDDL(schema)).as("r"))
+        .select(col("conv_id"), col("turn_idx"),
+          coalesce(col("r.engine"), lit("")).as("engine_raw"),
+          coalesce(col("r.doc_type"), lit("")).as("doc_type"),
+          coalesce(col("r.time_out"), lit(0L)).cast("long").as("time_out"),
+          coalesce(size(col("r.preprocessors")), lit(0)).cast("int").as("n_chain"),
+          coalesce(length(col("r.img_base64")) > 0, lit(false)).as("has_payload"))
+        .orderBy("conv_id", "turn_idx")
+    }),
+
+    // O2: multipart/related parsing with the reference's consumption quirks
+    // (first image part wins + immediate return; json-after-image unread;
+    // non-multipart/related rejected) — ocr_http_multipart_handler.go:25-89.
+    "o2_multipart" -> ((s, dir) => {
+      import s.implicits._
+      Transcripts.documents(s, dir)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val json = "--b\nContent-Type: application/json\n\n{\"engine\":\"mock\"}\n"
+          val image = s"--b\nContent-Type: image/png\n\n$text\n"
+          val junk = "--b\nContent-Type: text/plain\n\nignored\n"
+          val close = "--b--"
+          val (outerCt, body) = (id % 4) match {
+            case 0 => ("multipart/related", json + image + junk + close)
+            case 1 => ("multipart/related", image + json + close)
+            case 2 => ("multipart/related", json + junk + close)
+            case _ => ("multipart/mixed", json + image + close)
+          }
+          Multipart.extractParts(outerCt, "b", body) match {
+            case Left(_) => (id, false, false, "", 0)
+            case Right(x) =>
+              (id, true, x.json.nonEmpty,
+                if (x.imgBytes == null) "" else Payload.utf8(x.imgBytes), x.partsRead)
+          }
+        }
+        .toDF("doc_id", "ok", "has_json", "img_text", "parts_read")
+        .orderBy("doc_id")
+    }),
+
+    // O13: TIFF->PDF converter fallback — primary "convert" handles only
+    // little-endian containers, big-endian falls back to "tiff2pdf", damaged
+    // input errors after both attempts (sandwich_engine.go:344-371,
+    // ocr_util.go:136-169).
+    "o13_t2p_fallback" -> ((s, dir) => {
+      import s.implicits._
+      Transcripts.documents(s, dir)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val payload = (id % 3) match {
+            case 0 => Payload.bytes("II* " + text)
+            case 1 => Payload.bytes("MM *" + text)
+            case _ => Payload.bytes("II* ") // 4 bytes: both converters fail
+          }
+          Engines.tiffToPdfTrace(payload, primary = "convert") match {
+            case Left(e) => (id, "none", false, e)
+            case Right((conv, pdf)) =>
+              (id, conv, true, Pdf.extractText(pdf).fold(identity, identity))
+          }
+        }
+        .toDF("doc_id", "converter", "ok", "text_out")
+        .orderBy("doc_id")
+    }),
+
+    // O20: postback retry policy (3 attempts, 2 s backoff —
+    // ocr_rpc_client.go:20,232-277) as a pure decision function.
+    "o20_postback_retry" -> ((s, dir) => {
+      import s.implicits._
+      Transcripts.documents(s, dir)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val (attempts, delivered, backoff) = Delivery.postbackOutcome((id % 5).toInt)
+          (id, attempts, delivered, backoff)
+        }
+        .toDF("doc_id", "attempts", "delivered", "backoff_s")
+        .orderBy("doc_id")
+    }),
+
+    // O21: admission gate (queued < consumers×factor AND mem < 95% —
+    // ocr_res_manager.go:98-120), columnar.
+    "o21_admission" -> ((s, dir) => {
+      Transcripts.documents(s, dir)
+        .select(col("doc_id"),
+          pmod(col("doc_id"), lit(50L)).as("queued"),
+          (pmod(col("doc_id"), lit(8L)) + 1).as("consumers"),
+          lit(2L).as("factor"),
+          pmod(col("doc_id") * 7, lit(100L)).as("mem_used"),
+          lit(100L).as("mem_limit"))
+        .withColumn("accept",
+          GraftFunctions.admissionAccept(col("queued"), col("consumers"),
+            col("factor"), col("mem_used"), col("mem_limit")))
+        .orderBy("doc_id")
+    }),
+
+    // O24: inplace short-circuit — inplace_decode=true runs the engine
+    // directly and the preprocessor chain (routed by the RPC client) never
+    // executes (ocr_http_handler.go:109-146).
+    "o24_inplace" -> ((s, dir) => {
+      import s.implicits._
+      Transcripts.documents(s, dir)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val inplace = id % 2 == 1
+          val tool = "{\"engine\":\"tesseract\"," +
+            "\"preprocessors\":[\"stroke-width-transform\"]," +
+            "\"preprocessor-args\":{\"stroke-width-transform\":\"0\"}," +
+            s"""\"inplace_decode\":$inplace}"""
+          val r = Extractor.extractTurn("c", id.toInt, text, tool)
+          (id, r.text, r.status)
+        }
+        .toDF("doc_id", "text", "status")
+        .orderBy("doc_id")
     })
   )
 
@@ -294,7 +415,63 @@ object SparkEntry {
            |  $expectedEngine AS engine,
            |  count(*) AS n_rows,
            |  CAST(sum(length($expectedText)) AS BIGINT) AS chars_out
-           |FROM t GROUP BY 1, 2 ORDER BY status, engine""".stripMargin
+           |FROM t GROUP BY 1, 2 ORDER BY status, engine""".stripMargin,
+
+      "o1_parse_request" ->
+        s"""$derive
+           |SELECT conv_id, turn_idx,
+           |  CASE WHEN cls <= 3 THEN 'tesseract'
+           |       WHEN cls = 4 THEN 'mock' WHEN cls = 5 THEN '3'
+           |       WHEN cls = 6 THEN '' WHEN cls = 8 THEN 'SANDWICH'
+           |       ELSE 'sandwich' END AS engine_raw,
+           |  CASE WHEN cls = 5 THEN 'standard' ELSE '' END AS doc_type,
+           |  CAST(CASE WHEN cls = 5 THEN 60 ELSE 0 END AS BIGINT) AS time_out,
+           |  CAST(CASE WHEN cls = 2 THEN 1 ELSE 0 END AS INTEGER) AS n_chain,
+           |  (cls IN (7, 8, 9)) AS has_payload
+           |FROM t ORDER BY conv_id, turn_idx""".stripMargin,
+
+      "o2_multipart" ->
+        """SELECT doc_id,
+          |  (doc_id % 4 != 3) AS ok,
+          |  (doc_id % 4 IN (0, 2)) AS has_json,
+          |  CASE WHEN doc_id % 4 IN (0, 1) THEN text ELSE '' END AS img_text,
+          |  CAST(CASE doc_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 0 END
+          |    AS INTEGER) AS parts_read
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "o13_t2p_fallback" ->
+        """SELECT doc_id,
+          |  CASE doc_id % 3 WHEN 0 THEN 'convert' WHEN 1 THEN 'tiff2pdf' ELSE 'none' END
+          |    AS converter,
+          |  (doc_id % 3 != 2) AS ok,
+          |  CASE WHEN doc_id % 3 = 2
+          |    THEN 'entirely failed to convert the input image to intermediate pdf, usually this is caused by a damaged input file'
+          |    ELSE text || chr(10) || chr(12) END AS text_out
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "o20_postback_retry" ->
+        """SELECT doc_id,
+          |  CAST(least(doc_id % 5 + 1, 3) AS INTEGER) AS attempts,
+          |  (doc_id % 5 < 3) AS delivered,
+          |  CAST((least(doc_id % 5 + 1, 3) - 1) * 2 AS INTEGER) AS backoff_s
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "o21_admission" ->
+        """SELECT doc_id,
+          |  doc_id % 50 AS queued,
+          |  doc_id % 8 + 1 AS consumers,
+          |  CAST(2 AS BIGINT) AS factor,
+          |  (doc_id * 7) % 100 AS mem_used,
+          |  CAST(100 AS BIGINT) AS mem_limit,
+          |  (doc_id % 50 < (doc_id % 8 + 1) * 2 AND ((doc_id * 7) % 100) * 100 < 9500)
+          |    AS accept
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "o24_inplace" ->
+        """SELECT doc_id,
+          |  CASE WHEN doc_id % 2 = 1 THEN text ELSE upper(text) END AS text,
+          |  'done' AS status
+          |FROM documents ORDER BY doc_id""".stripMargin
     )
   }
 }

@@ -187,14 +187,21 @@ object Engines {
   private def convertLenient(bytes: Array[Byte]): Option[Array[Byte]] =
     if (bytes.length > 4) Some(Pdf.synthesize(Payload.utf8(bytes).drop(4))) else None
 
-  def tiffToPdf(bytes: Array[Byte], primary: String): Either[String, Array[Byte]] = {
+  def tiffToPdf(bytes: Array[Byte], primary: String): Either[String, Array[Byte]] =
+    tiffToPdfTrace(bytes, primary).map(_._2)
+
+  /** Like [[tiffToPdf]] but also reports WHICH converter produced the pdf —
+    * the observable half of the fallback semantics (the reference logs the
+    * fallback at `sandwich_engine.go:352-363`).
+    */
+  def tiffToPdfTrace(bytes: Array[Byte], primary: String): Either[String, (String, Array[Byte])] = {
     def run(name: String) = name match {
       case "tiff2pdf" => convertLenient(bytes)
       case _          => convertStrict(bytes)
     }
     val alternative = if (primary == "convert") "tiff2pdf" else "convert"
-    run(primary).orElse(run(alternative)) match {
-      case Some(pdf) => Right(pdf)
+    run(primary).map(primary -> _).orElse(run(alternative).map(alternative -> _)) match {
+      case Some(traced) => Right(traced)
       case None =>
         Left("entirely failed to convert the input image to intermediate pdf, usually this is caused by a damaged input file")
     }

@@ -68,7 +68,13 @@ object Extractor {
     acquirePayload(req, textColumn) match {
       case Left(e) => err(e)
       case Right(payload0) =>
-        Preprocessors.runChain(req, payload0) match {
+        // O24: inplace_decode runs the engine in-process — the preprocessor
+        // chain is routed by the RPC client the inplace path never reaches
+        // (`/root/reference/ocr_http_handler.go:115-128`), so it is skipped.
+        val chained =
+          if (req.inplaceDecode) Right(payload0)
+          else Preprocessors.runChain(req, payload0)
+        chained match {
           case Left(e) => err(e)
           case Right(payload) =>
             val timeOut = clampTimeout(req.timeOut)

@@ -52,4 +52,14 @@ object GraftFunctions {
   def clampTimeout(timeOut: Column, defaultSeconds: Long = 28800L): Column =
     when(timeOut >= defaultSeconds || timeOut <= 0, defaultSeconds)
       .otherwise(timeOut).cast("long")
+
+  /** O21 column variant of the admission gate
+    * (`ocr_res_manager.go:98-120`, threshold `ocr_res_manager.go:23`):
+    * accept iff queued < consumers × factor AND memUsed < 0.95 × memLimit.
+    * Memory compare is integer-exact (×100 vs ×95) so Spark and SQL agree.
+    */
+  def admissionAccept(
+      queued: Column, consumers: Column, factor: Column,
+      memUsed: Column, memLimit: Column): Column =
+    (queued < consumers * factor) && (memUsed * lit(100L) < memLimit * lit(95L))
 }

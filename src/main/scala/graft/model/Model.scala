@@ -87,7 +87,12 @@ final case class ExtractRequest(
     replyTo: String,
     pageNumber: Int,
     userAgent: String,
-    referenceId: String
+    referenceId: String,
+    /** O24 — `inplace_decode`: run the engine directly, skipping the queue
+      * AND the preprocessor chain (the chain routing lives in the RPC client
+      * the inplace path bypasses, `/root/reference/ocr_http_handler.go:109-146`).
+      */
+    inplaceDecode: Boolean = false
 )
 
 /** Extraction result — the analog of `OcrResult`

@@ -119,7 +119,8 @@ object RequestJson {
           replyTo = str("reply_to"),
           pageNumber = pageNumber,
           userAgent = str("user_agent"),
-          referenceId = str("reference_id")
+          referenceId = str("reference_id"),
+          inplaceDecode = bool("inplace_decode")
         )
       }
     }

@@ -340,4 +340,86 @@ class CoreSpec extends AnyFunSuite {
     val req = parse("""{"preprocessors":["identity","identity"]}""")
     assert(Preprocessors.runChain(req, data).toOption.get.sameElements(data))
   }
+
+  // --- O2: multipart/related parsing (ocr_http_multipart_handler.go:25-89)
+
+  private val mpJson = "--b\nContent-Type: application/json\n\n{\"engine\":\"mock\"}\n"
+  private val mpImage = "--b\nContent-Type: image/png\n\nIMGBYTES\n"
+  private val mpJunk = "--b\nContent-Type: text/plain\n\nignored\n"
+
+  test("multipart: json part + first image part consumed, trailing parts ignored") {
+    val r = Multipart.extractParts("multipart/related", "b", mpJson + mpImage + mpJunk + "--b--")
+    val x = r.toOption.get
+    assert(x.json == "{\"engine\":\"mock\"}")
+    assert(Payload.utf8(x.imgBytes) == "IMGBYTES")
+    assert(x.partsRead == 2) // returned immediately at the image part
+  }
+
+  test("multipart: json AFTER image is never read (return at lines 77-78)") {
+    val r = Multipart.extractParts("multipart/related", "b", mpImage + mpJson + "--b--")
+    val x = r.toOption.get
+    assert(x.json == "")
+    assert(x.partsRead == 1)
+  }
+
+  test("multipart: at most one image part; second image unread") {
+    val img2 = "--b\nContent-Type: image/jpeg\n\nSECOND\n"
+    val x = Multipart.extractParts("multipart/related", "b", mpImage + img2 + "--b--").toOption.get
+    assert(Payload.utf8(x.imgBytes) == "IMGBYTES")
+    assert(x.partsRead == 1)
+  }
+
+  test("multipart: non-related outer content type rejected (lines 33-37)") {
+    assert(Multipart.extractParts("multipart/mixed", "b", mpJson + "--b--").isLeft)
+    assert(Multipart.extractParts("application/json", "b", mpJson + "--b--").isLeft)
+  }
+
+  test("multipart: CRLF bodies parse identically") {
+    val crlf = (mpJson + mpImage + "--b--").replace("\n", "\r\n")
+    val x = Multipart.extractParts("multipart/related", "b", crlf).toOption.get
+    assert(x.json == "{\"engine\":\"mock\"}" && Payload.utf8(x.imgBytes) == "IMGBYTES")
+  }
+
+  // --- O13: converter fallback trace (sandwich_engine.go:344-371)
+
+  test("tiff2pdf fallback: LE uses primary, BE falls back, damaged errors") {
+    val le = Payload.bytes("II* hello")
+    val be = Payload.bytes("MM *hello")
+    assert(Engines.tiffToPdfTrace(le, "convert").toOption.get._1 == "convert")
+    assert(Engines.tiffToPdfTrace(be, "convert").toOption.get._1 == "tiff2pdf")
+    // primary tiff2pdf handles both without fallback
+    assert(Engines.tiffToPdfTrace(be, "tiff2pdf").toOption.get._1 == "tiff2pdf")
+    val damaged = Engines.tiffToPdfTrace(Payload.bytes("II* "), "convert")
+    assert(damaged.swap.toOption.get.startsWith("entirely failed to convert"))
+  }
+
+  // --- O20/O21: delivery + admission policies
+
+  test("postback retry policy: 3 attempts max, 2 s backoff (ocr_rpc_client.go:20,250-263)") {
+    assert(Delivery.postbackOutcome(0) == ((1, true, 0)))
+    assert(Delivery.postbackOutcome(2) == ((3, true, 4)))
+    assert(Delivery.postbackOutcome(3) == ((3, false, 4)))
+    assert(Delivery.postbackOutcome(9) == ((3, false, 4)))
+  }
+
+  test("admission gate: queue factor AND 95% memory ceiling (ocr_res_manager.go:98-120)") {
+    assert(Delivery.admit(queued = 3, consumers = 2, factor = 2, memUsed = 50, memLimit = 100))
+    assert(!Delivery.admit(queued = 4, consumers = 2, factor = 2, memUsed = 50, memLimit = 100))
+    assert(!Delivery.admit(queued = 3, consumers = 2, factor = 2, memUsed = 95, memLimit = 100))
+    assert(Delivery.admit(queued = 0, consumers = 1, factor = 2, memUsed = 94, memLimit = 100))
+  }
+
+  // --- O24: inplace short-circuit (ocr_http_handler.go:109-146)
+
+  test("inplace_decode skips the preprocessor chain but still runs the engine") {
+    val tool =
+      """{"engine":"tesseract","preprocessors":["stroke-width-transform"],
+         "preprocessor-args":{"stroke-width-transform":"0"},"inplace_decode":true}"""
+    val r = Extractor.extractTurn("c", 0, "plain body text", tool)
+    assert(r.status == "done")
+    assert(r.text == "plain body text") // chain (case-flip) did NOT run
+    val viaQueue = Extractor.extractTurn("c", 0, "plain body text",
+      tool.replace("\"inplace_decode\":true", "\"inplace_decode\":false"))
+    assert(viaQueue.text == "PLAIN BODY TEXT") // chain DID run
+  }
 }
