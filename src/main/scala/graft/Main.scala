@@ -1,0 +1,85 @@
+package graft
+
+import graft.spark.{ExtractPipeline, Lineage, Transcripts}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** spark-submit entrypoint for the extraction job (north rule: "runs via
+  * spark-submit on a multi-executor cluster"). Batch, resumable, metriced:
+  *
+  * {{{
+  * spark-submit --class graft.Main <jar> \
+  *   --input  /data/transcripts          \  (parquet dir, or table:NAME for a
+  *                                           catalog table — Iceberg when the
+  *                                           runtime is on the cluster)
+  *   --output /data/extracted            \
+  *   --buckets 256                       \  (lineage/commit granularity)
+  *   --max-buckets 0                     \  (0 = all pending; >0 = partial run)
+  *   --parallelism 0                     \  (0 = spark.sql.shuffle.partitions)
+  * }}}
+  *
+  * Rerunning with the same --output resumes: completed buckets are skipped
+  * (exactly-once via per-bucket idempotent overwrite — SURVEY.md §7.5). Each
+  * run appends per-bucket rows to `<output>/_lineage` and writes the
+  * aggregated per-status/engine metrics table to `<output>/_metrics`.
+  */
+object Main {
+
+  private def parseArgs(args: Array[String]): Map[String, String] =
+    args.sliding(2, 2).collect { case Array(k, v) if k.startsWith("--") =>
+      k.stripPrefix("--") -> v
+    }.toMap
+
+  def main(args: Array[String]): Unit = {
+    val opts = parseArgs(args)
+    val input = opts.getOrElse("input", sys.error("--input required"))
+    val output = opts.getOrElse("output", sys.error("--output required"))
+    val buckets = opts.getOrElse("buckets", "256").toInt
+    val maxBuckets = opts.getOrElse("max-buckets", "0").toInt
+    val parallelism = opts.getOrElse("parallelism", "0").toInt
+
+    val builder = SparkSession.builder().appName("graft-extract")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // local fallback so the job also runs outside spark-submit
+    val spark =
+      if (sys.env.contains("SPARK_GRAFT_LOCAL"))
+        builder.master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+          .config("spark.sql.shuffle.partitions",
+            sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+          .getOrCreate()
+      else builder.getOrCreate()
+
+    val transcripts =
+      if (input.startsWith("table:")) spark.read.table(input.stripPrefix("table:"))
+      else if (input.startsWith("derive:"))
+        // synthesize deterministically from a testdata sf dir (sandbox mode)
+        Transcripts.fromDocuments(spark, input.stripPrefix("derive:"))
+      else spark.read.parquet(input)
+
+    if (parallelism > 0)
+      spark.conf.set("spark.sql.shuffle.partitions", parallelism.toString)
+
+    val lineage = Lineage.run(spark, transcripts, output, buckets,
+      if (maxBuckets > 0) maxBuckets else Int.MaxValue)
+
+    val pending = Lineage.pendingBuckets(spark, output, buckets)
+    if (pending.isEmpty) {
+      // all buckets committed: publish the aggregated metrics table (O22)
+      Lineage.readOutput(spark, output)
+        .groupBy(col("status"), col("engine"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("n_chars_in")).cast("long").as("chars_in"),
+          sum(col("n_chars_out")).cast("long").as("chars_out"))
+        .write.mode("overwrite").parquet(s"$output/_metrics")
+    }
+    val done = lineage.agg(
+      count(lit(1)).as("buckets"),
+      coalesce(sum(col("n_rows")), lit(0L)).as("rows")).collect()(0)
+    // scalastyle:off println
+    println(s"[graft] buckets committed: ${done.getLong(0)}/$buckets, " +
+      s"rows: ${done.getLong(1)}, pending: ${pending.size}")
+    // scalastyle:on println
+    spark.stop()
+  }
+}

@@ -91,18 +91,25 @@ object Dedup {
         md5(concat(col("m0"), lit("_"), col("m1"))).as("band0"),
         md5(concat(col("m2"), lit("_"), col("m3"))).as("band1"))
 
-  /** LSH candidate pairs: docs sharing any band bucket. Equi-join on the
-    * band key (this is the whole point: no all-pairs comparison).
+  /** LSH candidate pairs: docs sharing any band bucket. ONE equi-join on the
+    * exploded (band_idx, band_val) key — exactly the OR-of-bands semantics,
+    * but a single shuffle instead of two self-joins, and the md5-heavy
+    * signature is persisted so it is computed once (not once per join side).
+    * At 100 TB this persist becomes a materialized signature table.
     */
   def minhashBands(doc: DataFrame): DataFrame = {
     val sig = minhashSignature(withInjectedDups(doc))
-    def pairsOn(band: String): DataFrame = {
-      val a = sig.as("a")
-      val b = sig.as("b")
-      a.join(b, col(s"a.$band") === col(s"b.$band") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-    }
-    pairsOn("band0").unionAll(pairsOn("band1")).distinct()
+      .select(col("doc_id"),
+        posexplode(array(col("band0"), col("band1"))).as(Seq("band_idx", "band_val")))
+      .persist()
+    val a = sig.as("a")
+    val b = sig.as("b")
+    a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
   }
 
   /** 16-bit SimHash over tokens: bit b set iff the majority of token hashes

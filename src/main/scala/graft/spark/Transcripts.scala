@@ -59,6 +59,28 @@ object Transcripts {
   def documents(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
 
+  /** Deterministically amplified corpus for throughput runs: `factor`
+    * replicas of the derived transcripts, each under a distinct conv_id
+    * namespace (stand-in for the 10^12-turn table — same row shape, same
+    * payload-class mix, conv_id cardinality scales with the data).
+    *
+    * Generation parallelism: the REPLICA axis is the stream side
+    * (`spark.range(factor)` pre-split into `parts` partitions) and the small
+    * base corpus is broadcast — so generating N× data uses all cores instead
+    * of inheriting the base parquet's single input split.
+    */
+  def amplified(spark: SparkSession, sfDir: String, factor: Int, parts: Int = 0): DataFrame =
+    if (factor <= 1) fromDocuments(spark, sfDir)
+    else {
+      val p = if (parts > 0) parts
+        else spark.conf.get("spark.sql.shuffle.partitions").toInt
+      spark.range(0L, factor.toLong, 1L, p)
+        .select(col("id").as("rep"))
+        .join(broadcast(fromDocuments(spark, sfDir)))
+        .withColumn("conv_id", concat(col("conv_id"), lit("-"), col("rep")))
+        .drop("rep")
+    }
+
   /** Derive the transcript table from `documents`. */
   def fromDocuments(spark: SparkSession, sfDir: String): DataFrame = {
     val doc = documents(spark, sfDir)
