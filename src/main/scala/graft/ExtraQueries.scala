@@ -67,7 +67,19 @@ object ExtraQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "o16_salt_invariance" -> ((s, dir) => saltInvariance(s, dir)),
     "o19_lineage" -> ((s, dir) => lineageRun(s, dir)),
-    "streaming_extract" -> ((s, dir) => streamingExtract(s, dir))
+    "streaming_extract" -> ((s, dir) => streamingExtract(s, dir)),
+
+    // event-time windowed agg under a 10-min watermark (Structured
+    // Streaming, append mode): the oracle encodes the append-mode emission
+    // contract window.end <= max(ts) - watermark.
+    "events_windowed_stream" -> ((s, dir) =>
+      graft.operators.Events.runWindowedStream(s, dir)
+        .orderBy("hour_start", "event_type")),
+
+    // analytic-window sessionization (30-min gap) over the events table
+    "events_sessionize" -> ((s, dir) =>
+      graft.operators.Events.sessionize(graft.operators.Events.events(s, dir))
+        .orderBy("user_id"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -87,6 +99,32 @@ object ExtraQueries {
         |  CASE WHEN doc_id % 10 IN (3, 9) THEN 'error'
         |       WHEN doc_id % 10 IN (4, 5) THEN '' ELSE 'done' END AS status,
         |  count(*) AS n_rows
-        |FROM documents GROUP BY 1 ORDER BY status""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY status""".stripMargin,
+
+    "events_windowed_stream" ->
+      """WITH m AS (SELECT max(ts) AS mx FROM events),
+        |w AS (
+        |  SELECT date_trunc('hour', ts) AS h, event_type,
+        |    count(*) AS n_events,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+        |  FROM events GROUP BY 1, 2)
+        |SELECT strftime(h, '%Y-%m-%d %H:%M') AS hour_start, event_type,
+        |  CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(value_cents AS BIGINT) AS value_cents
+        |FROM w, m
+        |WHERE h + INTERVAL 70 MINUTE <= m.mx
+        |ORDER BY hour_start, event_type""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN prev_ts IS NULL
+        |                  OR date_diff('second', prev_ts, ts) > 1800
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+        |FROM g GROUP BY 1 ORDER BY user_id""".stripMargin
   )
 }

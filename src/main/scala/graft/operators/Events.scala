@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Event-stream operators over the driver's `events` table — the
+  * Structured-Streaming half of SURVEY.md §2.10 made concrete: event-time
+  * windowed aggregation under a watermark (the semantics the reference's
+  * processing-time Prometheus histograms lack), plus batch analytic-window
+  * sessionization.
+  *
+  * Money-safe math: `value` sums use integer cents
+  * (`CAST(round(value*100) AS BIGINT)`) so Spark and the DuckDB oracle agree
+  * bit-for-bit regardless of double addition order.
+  */
+object Events {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/events.parquet")
+
+  /** Hourly event-time windows per event_type under a 10-minute watermark. */
+  def windowedCounts(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("value_cents"))
+
+  /** One-shot streaming run of [[windowedCounts]] (Trigger.AvailableNow,
+    * append mode to parquet). Append mode emits a window only once its end
+    * passes the watermark — i.e. `window.end <= max(ts) - 10 minutes` — so
+    * the final in-progress window is withheld in state. The DuckDB oracle
+    * encodes exactly that contract.
+    */
+  def runWindowedStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_events_").toString
+    val in = s"$base/in"; val out = s"$base/out"; val cp = s"$base/cp"
+    events(spark, sfDir).write.mode("overwrite").parquet(in)
+    val stream = spark.readStream.schema(eventSchema).parquet(in)
+    val q = windowedCounts(stream).writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("hour_start"),
+        col("event_type"),
+        col("n_events").cast("long").as("n_events"),
+        col("value_cents").cast("long").as("value_cents"))
+  }
+
+  /** Batch sessionization: a session breaks when the gap to the user's
+    * previous event exceeds 30 minutes (lag over an analytic window).
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapSec = gapMinutes * 60L
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSec, 1L)
+          .otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_events"),
+        sum(col("new_session")).cast("long").as("n_sessions"))
+  }
+}

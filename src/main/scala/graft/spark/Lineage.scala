@@ -37,6 +37,7 @@ object Lineage {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("n_buckets", org.apache.spark.sql.types.LongType),
             org.apache.spark.sql.types.StructField("n_rows", org.apache.spark.sql.types.LongType),
             org.apache.spark.sql.types.StructField("chars_out", org.apache.spark.sql.types.LongType),
             org.apache.spark.sql.types.StructField("status", org.apache.spark.sql.types.StringType))))
@@ -53,7 +54,18 @@ object Lineage {
       numBuckets: Int = 8,
       maxBucketsThisRun: Int = Int.MaxValue
   ): DataFrame = {
-    val done: Set[Long] = readLineage(spark, outDir)
+    val existing = readLineage(spark, outDir)
+    // Guard: bucket membership is hash(conv_id) % numBuckets — resuming with
+    // a DIFFERENT numBuckets than the committed lineage would silently
+    // reprocess rows into overlapping buckets (duplicated output).
+    val priorBuckets: Set[Long] =
+      if (existing.columns.contains("n_buckets"))
+        existing.select("n_buckets").distinct().collect().map(_.getLong(0)).toSet
+      else Set.empty
+    require(priorBuckets.isEmpty || priorBuckets == Set(numBuckets.toLong),
+      s"lineage at $outDir was committed with numBuckets=${priorBuckets.mkString(",")}; " +
+        s"resume must use the same value (got $numBuckets)")
+    val done: Set[Long] = existing
       .select("bucket").distinct().collect().map(_.getLong(0)).toSet
     val pending = (0L until numBuckets.toLong).filterNot(done).take(maxBucketsThisRun)
     pending.foreach { b =>
@@ -68,6 +80,7 @@ object Lineage {
       extracted.unpersist()
       val row = spark.range(1).select(
         lit(b).as("bucket"),
+        lit(numBuckets.toLong).as("n_buckets"),
         lit(stats.getLong(0)).as("n_rows"),
         lit(stats.getLong(1)).cast("long").as("chars_out"),
         lit("done").as("status"))

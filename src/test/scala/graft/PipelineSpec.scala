@@ -87,6 +87,34 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val totalRows = Lineage.readLineage(spark, crashy)
       .agg(sum("n_rows")).collect()(0).getLong(0)
     assert(totalRows == t.count())
+
+    // resuming with a different bucket count must be refused (it would
+    // silently duplicate output under a different hash partitioning)
+    intercept[IllegalArgumentException] {
+      Lineage.run(spark, t, crashy, numBuckets = 16)
+    }
+  }
+
+  test("plan: scan prunes to needed columns and the pipeline has exactly one shuffle") {
+    val t = Transcripts.fromDocuments(spark, sfDir)
+    val ds = ExtractPipeline.extract(spark, t)
+    val plan = ds.queryExecution.executedPlan.toString
+    // column pruning reaches the parquet scan: documents has
+    // (doc_id, text, lang, source, n_chars); the pipeline needs doc_id+text
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(readSchemas.contains("doc_id") && readSchemas.contains("text"))
+    assert(!readSchemas.contains("lang") && !readSchemas.contains("source")
+      && !readSchemas.contains("n_chars"))
+    // exactly ONE exchange: the salted repartition (O16); no hidden shuffles
+    assert("Exchange".r.findAllMatchIn(plan).length == 1, s"plan:\n$plan")
+  }
+
+  test("plan: ann brute-force broadcasts the candidate side") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val plan = Similarity.bruteForceTopK(emb, nQueries = 3, k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"expected broadcast join in:\n$plan")
   }
 
   test("streaming: availableNow extraction equals the batch result") {
