@@ -287,6 +287,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // SQL surface: the kernel as a registered native Catalyst expression
+    // (ExtractTurnField, codegen'd via doGenCode — no UDF). Same per-turn
+    // semantics as the typed pipeline, driven entirely from SQL.
+    "sql_extract_text" -> ((s, dir) => {
+      graft.spark.GraftExtensions.register(s)
+      Transcripts.fromDocuments(s, dir).createOrReplaceTempView("transcripts_v")
+      s.sql(
+        """SELECT conv_id, turn_idx,
+          |  extract_text(conv_id, turn_idx, text, tool) AS text,
+          |  extract_status(conv_id, turn_idx, text, tool) AS status
+          |FROM transcripts_v
+          |ORDER BY conv_id, turn_idx""".stripMargin)
+    }),
+
     // O24: inplace short-circuit — inplace_decode=true runs the engine
     // directly and the preprocessor chain (routed by the RPC client) never
     // executes (ocr_http_handler.go:109-146).
@@ -471,7 +485,14 @@ object SparkEntry {
         """SELECT doc_id,
           |  CASE WHEN doc_id % 2 = 1 THEN text ELSE upper(text) END AS text,
           |  'done' AS status
-          |FROM documents ORDER BY doc_id""".stripMargin
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "sql_extract_text" ->
+        s"""$derive
+           |SELECT conv_id, turn_idx,
+           |  $expectedText AS text,
+           |  $expectedStatus AS status
+           |FROM t ORDER BY conv_id, turn_idx""".stripMargin
     )
   }
 }

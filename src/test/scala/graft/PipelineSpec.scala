@@ -117,6 +117,27 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected broadcast join in:\n$plan")
   }
 
+  test("sql: registered extract_text expression matches the typed pipeline") {
+    graft.spark.GraftExtensions.register(spark)
+    Transcripts.fromDocuments(spark, sfDir).createOrReplaceTempView("transcripts_t")
+    val viaSql = spark.sql(
+      """SELECT conv_id, turn_idx,
+        |  extract_text(conv_id, turn_idx, text, tool) AS text,
+        |  extract_status(conv_id, turn_idx, text, tool) AS status
+        |FROM transcripts_t ORDER BY conv_id, turn_idx""".stripMargin)
+    val sqlRows = viaSql.collect().toSeq
+    // the expression participates in whole-stage codegen (no UDF fallback);
+    // check the FINAL plan (AQE materializes codegen stages on execution) —
+    // "*(n)" is WholeStageCodegenExec's tree-string marker
+    val finalPlan = viaSql.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("*("), s"no codegen stage in:\n$finalPlan")
+    val viaPipeline = ExtractPipeline
+      .extract(spark, Transcripts.fromDocuments(spark, sfDir))
+      .select("conv_id", "turn_idx", "text", "status")
+      .orderBy("conv_id", "turn_idx")
+    assert(sqlRows == viaPipeline.collect().toSeq)
+  }
+
   test("streaming: availableNow extraction equals the batch result") {
     val base = tmpDir("graft_streamspec_")
     val t = Transcripts.fromDocuments(spark, sfDir)
