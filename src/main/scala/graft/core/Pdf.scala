@@ -97,7 +97,15 @@ trailer << /Root 1 0 R >>
     }) ()
     if (!sawStream) Left("no content stream found")
     else if (pages.isEmpty) Left("no text objects found")
-    else Right(pages.map(_ + "\n\f").mkString)
+    else {
+      // structure was parsed on the byte-preserving ISO-8859-1 view; literal
+      // string content is UTF-8 (what synthesize writes) — re-decode so
+      // non-ASCII text round-trips (pinned by the Pdf round-trip property)
+      val joined = pages.map(_ + "\n\f").mkString
+      Right(new String(
+        joined.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1),
+        java.nio.charset.StandardCharsets.UTF_8))
+    }
   }
 
   /** Parse one content stream: collect show-text strings per line; `T*`,
@@ -111,33 +119,37 @@ trailer << /Root 1 0 R >>
     var any = false
     val lines = mutable.ArrayBuffer.empty[StringBuilder]
     var cur: StringBuilder = null
-    def newLine(): Unit = {
-      // only break when the current line already carries text
-      if (cur == null || cur.nonEmpty) {
-        cur = new StringBuilder
-        lines += cur
-      }
+    // a line-break operator starts a new line only if a show op occurred
+    // since the last break — positioning ops before the first show (the
+    // `Td` after `BT`) are noise, but breaks BETWEEN shows always count,
+    // even when the shown string was empty (empty lines must round-trip;
+    // pinned by the pdf round-trip property).
+    var sawShow = false
+    def ensureLine(): Unit = if (cur == null) { cur = new StringBuilder; lines += cur }
+    def breakLine(): Unit = if (sawShow) {
+      cur = new StringBuilder; lines += cur; sawShow = false
     }
     while (i < n) {
       val c = content.charAt(i)
       if (!inText) {
-        if (c == 'B' && content.startsWith("BT", i)) { inText = true; any = true; newLine(); i += 2 }
+        if (c == 'B' && content.startsWith("BT", i)) { inText = true; any = true; i += 2 }
         else i += 1
       } else {
         c match {
           case '(' =>
             val (str, next) = readLiteral(content, i)
-            if (cur == null) newLine()
+            ensureLine()
             cur.append(str)
+            sawShow = true
             i = next
           case 'E' if content.startsWith("ET", i) =>
             inText = false; i += 2
           case 'T' if content.startsWith("T*", i) =>
-            newLine(); i += 2
+            breakLine(); i += 2
           case 'T' if content.startsWith("Td", i) || content.startsWith("TD", i) =>
-            newLine(); i += 2
+            breakLine(); i += 2
           case '\'' | '"' =>
-            newLine(); i += 1
+            breakLine(); i += 1
           case '[' =>
             // TJ array: strings inside are concatenated (kerning numbers ignored)
             i += 1

@@ -1,0 +1,99 @@
+package graft
+
+import graft.core._
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+/** ScalaCheck properties for the pure kernel (FIXTURES.md §"property tests"):
+  * round-trips, idempotence, determinism, and classifier laws that must hold
+  * for ARBITRARY inputs, not just the fixture corpus.
+  */
+object CoreProperties extends Properties("core") {
+
+  private val textGen: Gen[String] = Gen.oneOf(
+    Gen.asciiPrintableStr,
+    Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(' ', '\n', '\t', '(', ')', '\\', '&', '<', '>')))
+      .map(_.mkString),
+    Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('é', '中', 'ß', '∀', ' '))).map(_.mkString))
+
+  property("base64 round-trips arbitrary bytes") =
+    forAll(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) { bs =>
+      val a = bs.toArray
+      Payload.decodeBase64(Payload.encodeBase64(a)).toOption.get.sameElements(a)
+    }
+
+  property("pdf synthesize -> extractText round-trips text (pdftotext form-feed framing)") =
+    forAll(textGen) { s =>
+      // PDF literal escapes cover \n; bare \r is normalized by the reader
+      val t = s.replace("\r", "")
+      Pdf.extractText(Pdf.synthesize(t)) == Right(t + "\n\f")
+    }
+
+  property("collapseWs is idempotent") = forAll(textGen) { s =>
+    val once = Html.collapseWs(s)
+    Html.collapseWs(once) == once
+  }
+
+  property("collapseWs output never has doubled spaces or edge whitespace") =
+    forAll(textGen) { s =>
+      val c = Html.collapseWs(s)
+      !c.contains("  ") && c == c.trim
+    }
+
+  property("decodeEntities is identity without ampersands") =
+    forAll(textGen.map(_.filter(_ != '&'))) { s => Html.decodeEntities(s) == s }
+
+  property("detectFileType classifies by exact magic") =
+    forAll(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) { bs =>
+      val a = bs.toArray
+      val t = Payload.detectFileType(a)
+      val pdf = a.length > 3 && a.startsWith("%PDF".getBytes("ASCII"))
+      val tiff = a.length > 3 &&
+        (a.startsWith(Array[Byte](0x49, 0x49, 0x2a, 0x00)) ||
+          a.startsWith(Array[Byte](0x4d, 0x4d, 0x00, 0x2a)))
+      if (pdf) t == Payload.PDF else if (tiff) t == Payload.TIFF else t == Payload.UNKNOWN
+    }
+
+  property("extraction is deterministic for arbitrary text + tool payloads") =
+    forAll(textGen, textGen) { (text, tool) =>
+      val a = Extractor.extractTurn("c", 0, text, tool)
+      val b = Extractor.extractTurn("c", 0, text, tool)
+      a == b
+    }
+
+  property("extraction never throws; status is always done/error/empty") =
+    forAll(textGen, textGen) { (text, tool) =>
+      val r = Extractor.extractTurn("c", 0, text, tool)
+      Set("done", "error", "").contains(r.status)
+    }
+
+  property("identity chain of any length is a no-op") =
+    forAll(Gen.chooseNum(0, 8), textGen) { (n, s) =>
+      val req = model.RequestJson.parse("c#0",
+        s"""{"preprocessors":[${List.fill(n)("\"identity\"").mkString(",")}]}""").toOption.get
+      Preprocessors.runChain(req, Payload.bytes(s)).toOption.get.sameElements(Payload.bytes(s))
+    }
+
+  property("swt darkOnLight=0 twice restores case") = forAll(textGen) { s =>
+    val once = Preprocessors.strokeWidthTransform(Payload.bytes(s), "0")
+    val twice = Preprocessors.strokeWidthTransform(once, "0")
+    // control chars are stripped on the first pass; the second pass must be
+    // case-flip-only, so flip∘flip == first pass with darkOnLight=1
+    Payload.utf8(twice) == Payload.utf8(Preprocessors.strokeWidthTransform(Payload.bytes(s), "1"))
+  }
+
+  property("multipart round-trips arbitrary boundary-free payloads") =
+    forAll(textGen.suchThat(t => !t.contains("--b") && !t.contains("\n\n"))) { t =>
+      val body = s"--b\nContent-Type: image/png\n\n$t\n--b--"
+      Multipart.extractParts("multipart/related", "b", body) match {
+        case Right(x) => Payload.utf8(x.imgBytes) == t.replace("\r\n", "\n")
+        case Left(_)  => Prop.falsified != null && false
+      }
+    }
+
+  property("timeout clamp is idempotent and lands in (0, default]") =
+    forAll(Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2)) { t =>
+      val c = Extractor.clampTimeout(t)
+      c > 0 && c <= Extractor.DefaultTimeoutSeconds && Extractor.clampTimeout(c) == c
+    }
+}
