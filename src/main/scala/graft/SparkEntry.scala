@@ -287,6 +287,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // O12 alternate output encodings: COMBINEDPDF (multistamp, +optional
+    // gs-optimize) and OCRLAYERONLY — each delivered base64 like every
+    // sandwich result (sandwich_engine.go:396-487). The oracle rebuilds the
+    // multistamped bytes from the same deterministic PDF templates.
+    "o12_pdf_encodings" -> ((s, dir) => {
+      import s.implicits._
+      Transcripts.documents(s, dir)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val esc = Pdf.escape(text)
+          val stream = s"BT /F1 12 Tf 72 720 Td ($esc) Tj ET"
+          val inputPdf =
+            (s"%PDF-1.4\n1 0 obj << /Length ${stream.length} >> stream\n" +
+              stream + "\nendstream\n%%EOF\n").getBytes("UTF-8")
+          val (ocrType, optimize) = (id % 3) match {
+            case 0 => ("combinedpdf", false)
+            case 1 => ("COMBINEDPDF", true)
+            case _ => ("OcrLayerOnly", false)
+          }
+          val args = Map[String, graft.model.JVal](
+            "ocr_type" -> graft.model.JVal.JStr(ocrType),
+            "result_optimize" -> graft.model.JVal.JBool(optimize))
+          val r = Engines.sandwich(inputPdf, Some(args), 28800L, Engines.CoreConfig())
+          (id, ocrType, optimize, r.fold(identity, _.text))
+        }
+        .toDF("doc_id", "ocr_type", "optimized", "out_b64")
+        .orderBy("doc_id")
+    }),
+
     // SQL surface: the kernel as a registered native Catalyst expression
     // (ExtractTurnField, codegen'd via doGenCode — no UDF). Same per-turn
     // semantics as the typed pipeline, driven entirely from SQL.
@@ -492,7 +521,43 @@ object SparkEntry {
            |SELECT conv_id, turn_idx,
            |  $expectedText AS text,
            |  $expectedStatus AS status
-           |FROM t ORDER BY conv_id, turn_idx""".stripMargin
+           |FROM t ORDER BY conv_id, turn_idx""".stripMargin,
+
+      // rebuilds the multistamped/optimized/ocr-layer bytes from the same
+      // deterministic PDF templates the engine uses (ASCII corpus: DuckDB
+      // length() == JVM String.length). \f inside PDF literals is raw chr(12).
+      "o12_pdf_encodings" -> {
+        val esc = """replace(replace(replace(text, '\', '\\'), '(', '\('), ')', '\)')"""
+        val s1 = s"'BT /F1 12 Tf 72 720 Td (' || $esc || ') Tj ET'"
+        val pdfA =
+          s"'%PDF-1.4' || chr(10) || '1 0 obj << /Length ' || length($s1) || ' >> stream' || chr(10) || $s1 || chr(10) || 'endstream' || chr(10) || '%%EOF' || chr(10)"
+        val s2 =
+          s"'BT /F1 12 Tf 14 TL 72 720 Td (' || $esc || ') Tj T* (' || chr(12) || ') Tj ET'"
+        val pdfB =
+          s"""'%PDF-1.4' || chr(10) ||
+             |'1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj' || chr(10) ||
+             |'2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj' || chr(10) ||
+             |'3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj' || chr(10) ||
+             |'4 0 obj << /Length ' || length($s2) || ' >> stream' || chr(10) ||
+             |$s2 || chr(10) ||
+             |'endstream endobj' || chr(10) ||
+             |'trailer << /Root 1 0 R >>' || chr(10) ||
+             |'%%EOF' || chr(10)""".stripMargin
+        s"""WITH b AS (
+           |  SELECT doc_id,
+           |    CASE doc_id % 3 WHEN 0 THEN 'combinedpdf' WHEN 1 THEN 'COMBINEDPDF'
+           |      ELSE 'OcrLayerOnly' END AS ocr_type,
+           |    (doc_id % 3 = 1) AS optimized,
+           |    $pdfA AS pdf_a,
+           |    $pdfB AS pdf_b
+           |  FROM documents)
+           |SELECT doc_id, ocr_type, optimized,
+           |  to_base64(encode(CASE
+           |    WHEN doc_id % 3 = 0 THEN pdf_a || pdf_b
+           |    WHEN doc_id % 3 = 1 THEN replace(pdf_a || pdf_b, '%%EOF', '%optimized' || chr(10) || '%%EOF')
+           |    ELSE pdf_b END)) AS out_b64
+           |FROM b ORDER BY doc_id""".stripMargin
+      }
     )
   }
 }
