@@ -64,6 +64,45 @@ object Events {
         col("value_cents").cast("long").as("value_cents"))
   }
 
+  final case class EventLite(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
+  final case class SessionState(lastEpochSec: Long, nEvents: Long, nSessions: Long)
+  final case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)
+
+  /** STREAMING sessionization with custom state — `flatMapGroupsWithState`
+    * (the `KeyValueGroupedDataset` custom-state path of SURVEY.md §2.10;
+    * state-per-user ≙ the reference's in-flight request map O19, upgraded to
+    * event-time session logic). Gap semantics match [[sessionize]] exactly:
+    * epoch-second truncation, strict `> gap`. Assumes per-user event-time
+    * order across micro-batches (single-batch in tests; at scale the input
+    * would be time-bucketed so each batch is a closed time range).
+    */
+  def sessionizeWithState(
+      spark: SparkSession,
+      stream: DataFrame,
+      gapMinutes: Int = 30
+  ): org.apache.spark.sql.Dataset[UserSessions] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapSec = gapMinutes * 60L
+    stream
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .as[EventLite]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSessions](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[EventLite], state: GroupState[SessionState]) =>
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val sec = Math.floorDiv(e.ts.getTime, 1000L)
+            val newSession = st.nEvents == 0L || sec - st.lastEpochSec > gapSec
+            st = SessionState(sec, st.nEvents + 1L,
+              st.nSessions + (if (newSession) 1L else 0L))
+          }
+          state.update(st)
+          Iterator(UserSessions(uid, st.nEvents, st.nSessions))
+      }
+  }
+
   /** Batch sessionization: a session breaks when the gap to the user's
     * previous event exceeds 30 minutes (lag over an analytic window).
     */

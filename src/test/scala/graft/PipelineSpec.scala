@@ -152,6 +152,40 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch)
   }
 
+  test("streaming: flatMapGroupsWithState sessionization equals the batch analytic window") {
+    import graft.operators.Events
+    val base = tmpDir("graft_sess_")
+    Events.events(spark, sfDir).coalesce(1) // one file = one ordered micro-batch
+      .write.mode("overwrite").parquet(s"$base/in")
+    val stream = spark.readStream.schema(Events.eventSchema).parquet(s"$base/in")
+    val q = Events.sessionizeWithState(spark, stream).writeStream
+      .format("memory").queryName("sessions_stream")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("sessions_stream")
+      .groupBy("user_id") // last update per user == totals (single batch)
+      .agg(max("n_events").as("n_events"), max("n_sessions").as("n_sessions"))
+      .orderBy("user_id").collect().toSeq
+    val batch = Events.sessionize(Events.events(spark, sfDir))
+      .orderBy("user_id").collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("skew: heavy rows of one conversation spread across partitions") {
+    import spark.implicits._
+    val heavy = "x" * (ExtractPipeline.heavyThreshold + 1)
+    val rows = (0 until 4).map(i => ("conv-heavy", i, heavy, "")) ++
+      (0 until 64).map(i => (s"conv-${i % 8}", i, "small", ""))
+    val df = rows.toDF("conv_id", "turn_idx", "text", "tool")
+    val parts = df.repartition(8, ExtractPipeline.saltColumn())
+      .select(col("conv_id"), expr("spark_partition_id()").as("pid"))
+    val heavyPids = parts.filter(col("conv_id") === "conv-heavy")
+      .select("pid").distinct().count()
+    assert(heavyPids > 1, "per-row salt must spread one conversation's heavy rows")
+  }
+
   test("dedup: exact finds exactly the injected duplicates") {
     val doc = Transcripts.documents(spark, sfDir)
     val dups = Dedup.exact(doc).filter(col("n_copies") > 1)
