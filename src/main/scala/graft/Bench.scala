@@ -59,7 +59,7 @@ object Bench {
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     try {
       ExtractPipeline // warmup: JIT kernel + codegen + parquet reader
-        .extract(spark, Transcripts.fromDocuments(spark, sfDir))
+        .extract(spark, Transcripts.fromDocuments(spark, sfDir).limit(500))
         .agg(F.count(F.lit(1))).collect()
       val c0 = osBean.getProcessCpuTime
       val t0 = System.nanoTime()
@@ -77,8 +77,10 @@ object Bench {
   private def runChild(cores: Int, parts: Int, sfDir: String, corpusDir: String): Option[(Long, Double, Double)] = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val cp = System.getProperty("java.class.path")
+    // 8g fixed PRE-TOUCHED heap: lazy page-faulting (even with Xms=Xmx) is
+    // catastrophic on this VM — 8-core runs degraded 5-10x without pretouch
     val base = Seq(javaBin, "-cp", cp,
-      "-Xms16g", "-Xmx16g", "-XX:+AlwaysPreTouch",
+      "-Xms8g", "-Xmx8g", "-XX:+AlwaysPreTouch",
       s"-XX:ActiveProcessorCount=$cores",
       "-Dspark.local.dir=" + shuffleDir(),
       "-Dspark.ui.enabled=false") ++ addOpens ++
@@ -111,17 +113,27 @@ object Bench {
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // defaults sized so the whole bench (queries + corpus + 3-level ladder
+    // x reps child JVMs) stays well under the driver's time budget
     val amplify = sys.env.getOrElse("SPARK_GRAFT_AMPLIFY", "1000").toInt
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+
+    val tStart = System.nanoTime()
+    def mark(phase: String): Unit =
+      System.err.println(f"[bench] $phase at ${(System.nanoTime() - tStart) / 1e9}%.1f s")
 
     // ---- phase 1: per-query timings (first a small untimed warmup)
     val spark = session(cpus, cpus)
     SparkEntry.entry(spark).count()
+    mark("warmup done")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (sec > 3) mark(f"slow query $name: $sec%.1f s")
+      name -> sec
     }
+    mark("queries done")
 
     // ---- phase 2: materialized corpus on tmpfs
     val corpusBase =
@@ -130,6 +142,7 @@ object Bench {
     Transcripts.amplified(spark, sfDir, amplify, parts = 256)
       .write.mode("overwrite").parquet(corpusDir)
     spark.stop()
+    mark("corpus done")
 
     // ---- phase 3: scaling ladder {N, 4N, 16N} = {2, 8, 32} cores,
     // best-of-reps per level. Primary N->4N evidence is 2->8 (both levels
@@ -139,7 +152,11 @@ object Bench {
     val coresN = math.max(coresLow * 4, cpus / 4)
     val cores4N = cpus
     def bestOf(cores: Int, parts: Int) = {
-      val runs = (1 to reps).flatMap(_ => runChild(cores, parts, sfDir, corpusDir))
+      val runs = (1 to reps).flatMap { _ =>
+        val r = runChild(cores, parts, sfDir, corpusDir)
+        mark(s"child cores=$cores done (${r.map(_._2).getOrElse(-1.0)} s timed)")
+        r
+      }
       if (runs.isEmpty) (0L, Double.NaN, Double.NaN)
       else runs.minBy(_._2)
     }
@@ -169,7 +186,7 @@ object Bench {
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val queriesTotal = results.map(_._2).sum
     println(
-      f"""{"metric":"turns/sec extracted (per-turn text-equality pass rate = 100%%)","value":$tput4N%.1f,"unit":"turns/sec","queries":$qs,"sf":"$sfDir","turns":$n4N,"amplify":$amplify,"queries_total_sec":$queriesTotal%.1f,"scaling":{"ladder":[{"cores":$coresLow,"wall_sec":$wallLow%.2f,"turns_per_sec":$tputLow%.1f,"cpu_us_per_turn":$cpuPerTurnLow%.1f},{"cores":$coresN,"wall_sec":$wallN%.2f,"turns_per_sec":$tputN%.1f,"cpu_us_per_turn":$cpuPerTurnN%.1f},{"cores":$cores4N,"wall_sec":$wall4N%.2f,"turns_per_sec":$tput4N%.1f,"cpu_us_per_turn":$cpuPerTurn4N%.1f}],"wall_efficiency_n_to_4n":$effPrimary%.3f,"n":$coresLow,"4n":$coresN,"wall_efficiency_4n_to_16n":$effHigh%.3f,"cpu_work_conservation_n_to_4n":$consPrimary%.3f,"cpu_work_conservation_4n_to_16n":$consHigh%.3f,"reps":$reps,"protocol":"pinned child JVMs (taskset 0..cores-1, ActiveProcessorCount), Xms=Xmx=16g AlwaysPreTouch, tmpfs corpus+shuffle, best-of-reps"}}"""
+      f"""{"metric":"turns/sec extracted (per-turn text-equality pass rate = 100%%)","value":$tput4N%.1f,"unit":"turns/sec","queries":$qs,"sf":"$sfDir","turns":$n4N,"amplify":$amplify,"queries_total_sec":$queriesTotal%.1f,"scaling":{"ladder":[{"cores":$coresLow,"wall_sec":$wallLow%.2f,"turns_per_sec":$tputLow%.1f,"cpu_us_per_turn":$cpuPerTurnLow%.1f},{"cores":$coresN,"wall_sec":$wallN%.2f,"turns_per_sec":$tputN%.1f,"cpu_us_per_turn":$cpuPerTurnN%.1f},{"cores":$cores4N,"wall_sec":$wall4N%.2f,"turns_per_sec":$tput4N%.1f,"cpu_us_per_turn":$cpuPerTurn4N%.1f}],"wall_efficiency_n_to_4n":$effPrimary%.3f,"n":$coresLow,"4n":$coresN,"wall_efficiency_4n_to_16n":$effHigh%.3f,"cpu_work_conservation_n_to_4n":$consPrimary%.3f,"cpu_work_conservation_4n_to_16n":$consHigh%.3f,"reps":$reps,"protocol":"pinned child JVMs (taskset 0..cores-1, ActiveProcessorCount), Xms=Xmx=8g AlwaysPreTouch, tmpfs corpus+shuffle, best-of-reps"}}"""
     )
 
     try {

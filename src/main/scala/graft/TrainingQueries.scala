@@ -100,10 +100,12 @@ object TrainingQueries {
 
   def oracleSql: Map[String, String] = Map(
     "text_tokens" ->
-      """SELECT doc_id,
-        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
-        |  CAST(length(text) AS INTEGER) AS n_chars
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.subtokenPattern}')) AS INTEGER)
+         |    AS n_subtokens,
+         |  CAST(length(text) AS INTEGER) AS n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_quality" ->
       """SELECT doc_id,
@@ -133,6 +135,11 @@ object TrainingQueries {
 
     "text_fingerprint" ->
       """SELECT doc_id, md5(replace(text, ' ', '')) AS fp,
+        |  CAST(list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(text) + 1),
+        |        i -> CAST(ord(substring(text, i, 1)) AS BIGINT))),
+        |    (h, c) -> (h * 31 + c) % 2147483647) AS BIGINT) AS rolling_fp,
         |  CAST(length(replace(text, ' ', '')) AS INTEGER) AS n_chars_norm
         |FROM documents ORDER BY doc_id""".stripMargin,
 

@@ -17,10 +17,17 @@ object TextAnalysis {
     */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** BPE-ish subword pre-tokenization: letter runs, digit runs, and single
+    * punctuation marks each count as one token (the GPT-2-style pre-tokenizer
+    * shape, reduced to an oracle-exact regex).
+    */
+  val subtokenPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
   def tokenCounts(doc: DataFrame): DataFrame =
     doc.select(
       col("doc_id"),
       size(tokens(col("text"))).cast("int").as("n_tokens"),
+      regexp_count(col("text"), lit(subtokenPattern)).cast("int").as("n_subtokens"),
       length(col("text")).cast("int").as("n_chars"))
 
   /** Quality signals: stopword ratio, mean token length, unique-token ratio.
@@ -70,13 +77,27 @@ object TextAnalysis {
         predicted.as("predicted")): _*)
   }
 
-  /** Document fingerprint: hash of the whitespace-normalized text (the exact
-    * content fingerprint used for dedup keys; a rolling/shingled variant is
-    * in [[Dedup.minhashSignature]]).
+  /** Polynomial rolling hash (Karp-Rabin form): h = (h*31 + code) mod 2^31-1
+    * over the character codes — pure integer Catalyst expression, so the
+    * DuckDB twin computes the identical value. At scale this is the
+    * incremental-fingerprint primitive (extendable per-chunk without
+    * re-reading the document).
+    */
+  def rollingHash(text: Column): Column =
+    expr(
+      """aggregate(
+        |  transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1))),
+        |  CAST(0 AS BIGINT),
+        |  (h, c) -> (h * 31 + c) % 2147483647)""".stripMargin)
+
+  /** Document fingerprint: md5 of the whitespace-normalized text plus the
+    * rolling hash (the cheap incremental variant; the shingled form is in
+    * [[Dedup.minhashSignature]]).
     */
   def fingerprint(doc: DataFrame): DataFrame =
     doc.select(
       col("doc_id"),
       md5(regexp_replace(col("text"), " ", "")).as("fp"),
+      rollingHash(col("text")).cast("long").as("rolling_fp"),
       length(regexp_replace(col("text"), " ", "")).cast("int").as("n_chars_norm"))
 }
