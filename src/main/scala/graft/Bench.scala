@@ -151,11 +151,19 @@ object Bench {
     val coresLow = math.max(2, cpus / 16)
     val coresN = math.max(coresLow * 4, cpus / 4)
     val cores4N = cpus
+    // soft time budget: always run >=1 rep per level, skip extra reps when
+    // the budget is spent (insurance against a tight driver timeout)
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "460").toInt
+    def elapsed = (System.nanoTime() - tStart) / 1e9
     def bestOf(cores: Int, parts: Int) = {
-      val runs = (1 to reps).flatMap { _ =>
-        val r = runChild(cores, parts, sfDir, corpusDir)
-        mark(s"child cores=$cores done (${r.map(_._2).getOrElse(-1.0)} s timed)")
-        r
+      val runs = (1 to reps).flatMap { rep =>
+        if (rep > 1 && elapsed > budgetSec) {
+          mark(s"budget spent, skipping rep $rep at cores=$cores"); None
+        } else {
+          val r = runChild(cores, parts, sfDir, corpusDir)
+          mark(s"child cores=$cores done (${r.map(_._2).getOrElse(-1.0)} s timed)")
+          r
+        }
       }
       if (runs.isEmpty) (0L, Double.NaN, Double.NaN)
       else runs.minBy(_._2)

@@ -409,6 +409,42 @@ class CoreSpec extends AnyFunSuite {
     assert(Delivery.admit(queued = 0, consumers = 1, factor = 2, memUsed = 94, memLimit = 100))
   }
 
+  // --- O19: deferred-result store, one-shot claim + decay
+  //     (ocr_results_storage.go:8-49, ocr_rpc_client.go:197-228)
+
+  test("results track: done is claimed exactly once, then not found") {
+    val track = new ResultsTrack(() => 0L)
+    track.register("req-1", timeoutSeconds = 60)
+    assert(track.check("req-1") == (("processing", "")))
+    track.complete("req-1", "extracted text")
+    assert(track.check("req-1") == (("done", "extracted text")))
+    assert(track.check("req-1") == (("not found", ""))) // one-shot claim
+    assert(track.check("unknown") == (("not found", "")))
+  }
+
+  test("results track: unclaimed results decay after timeout + 10s") {
+    var now = 0L
+    val track = new ResultsTrack(() => now)
+    track.register("req-2", timeoutSeconds = 60)
+    track.complete("req-2", "late pickup")
+    now = 69 // 60 + 10 - 1: still alive
+    assert(track.check("req-2") == (("done", "late pickup")))
+    track.register("req-3", timeoutSeconds = 60)
+    track.complete("req-3", "never picked up")
+    now = 140 // past 69 + 70
+    assert(track.check("req-3") == (("not found", "")))
+    assert(track.inFlight == 0)
+  }
+
+  test("results track: timeout 0 clamps to the 28800s default before decay") {
+    var now = 0L
+    val track = new ResultsTrack(() => now)
+    track.register("req-4", timeoutSeconds = 0)
+    track.complete("req-4", "long job")
+    now = 28800L + 9
+    assert(track.check("req-4") == (("done", "long job")))
+  }
+
   // --- O24: inplace short-circuit (ocr_http_handler.go:109-146)
 
   test("inplace_decode skips the preprocessor chain but still runs the engine") {
