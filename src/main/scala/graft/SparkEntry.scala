@@ -316,6 +316,38 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // O19 serving-path quirk: deferred results are claimed EXACTLY once
+    // (done -> not found), in-flight polls say processing, unclaimed results
+    // decay after timeout+10s (ocr_results_storage.go:8-49).
+    "o19_oneshot_claim" -> ((s, dir) => {
+      import s.implicits._
+      Transcripts.documents(s, dir)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          var now = 0L
+          val track = new graft.core.ResultsTrack(() => now)
+          val rid = s"req-$id"
+          track.register(rid, timeoutSeconds = 60)
+          (id % 3) match {
+            case 0 => // complete, claim, poll again: one-shot
+              track.complete(rid, s"text-$id")
+              val first = track.check(rid)
+              val second = track.check(rid)
+              (id, first._1, first._2, second._1)
+            case 1 => // in flight
+              val first = track.check(rid)
+              (id, first._1, first._2, track.check(rid)._1)
+            case _ => // decayed before pickup
+              track.complete(rid, s"text-$id")
+              now = 71 // past 60 + 10
+              val first = track.check(rid)
+              (id, first._1, first._2, track.check(rid)._1)
+          }
+        }
+        .toDF("doc_id", "first_status", "first_text", "second_status")
+        .orderBy("doc_id")
+    }),
+
     // SQL surface: the kernel as a registered native Catalyst expression
     // (ExtractTurnField, codegen'd via doGenCode — no UDF). Same per-turn
     // semantics as the typed pipeline, driven entirely from SQL.
@@ -522,6 +554,15 @@ object SparkEntry {
            |  $expectedText AS text,
            |  $expectedStatus AS status
            |FROM t ORDER BY conv_id, turn_idx""".stripMargin,
+
+      "o19_oneshot_claim" ->
+        """SELECT doc_id,
+          |  CASE doc_id % 3 WHEN 0 THEN 'done' WHEN 1 THEN 'processing'
+          |    ELSE 'not found' END AS first_status,
+          |  CASE WHEN doc_id % 3 = 0 THEN 'text-' || doc_id ELSE '' END AS first_text,
+          |  CASE WHEN doc_id % 3 = 1 THEN 'processing' ELSE 'not found' END
+          |    AS second_status
+          |FROM documents ORDER BY doc_id""".stripMargin,
 
       // rebuilds the multistamped/optimized/ocr-layer bytes from the same
       // deterministic PDF templates the engine uses (ASCII corpus: DuckDB
