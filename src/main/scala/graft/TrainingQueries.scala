@@ -83,6 +83,15 @@ object TrainingQueries {
         .groupBy("bucket").agg(count(lit(1)).as("n_vecs"))
         .orderBy("bucket")),
 
+    "ann_ivf_cells" -> ((s, dir) =>
+      Similarity.ivfAssign(s.read.parquet(s"$dir/embeddings.parquet"))
+        .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+        .orderBy("cell")),
+
+    "ann_ivf_topk" -> ((s, dir) =>
+      Similarity.ivfTopK(s.read.parquet(s"$dir/embeddings.parquet"))
+        .orderBy("query_id", "rank")),
+
     "multimodal_meta" -> ((s, dir) => {
       val media = Multimodal.mediaTable(s, Transcripts.documents(s, dir))
       Multimodal.decodeMeta(s, media).toDF().orderBy("doc_id")
@@ -235,6 +244,43 @@ object TrainingQueries {
       s"""SELECT CAST($bits AS INTEGER) AS bucket, count(*) AS n_vecs
          |FROM embeddings GROUP BY 1 ORDER BY bucket""".stripMargin
     },
+
+    "ann_ivf_cells" ->
+      s"""WITH cent AS (
+         |  SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings
+         |  WHERE vec_id < ${Similarity.ivfCells}),
+         |sc AS (
+         |  SELECT e.vec_id, c.centroid_id,
+         |    round(${duckCosine("e.embedding", "c.ce")}, 6) AS ccos
+         |  FROM embeddings e, cent c),
+         |a AS (
+         |  SELECT vec_id, centroid_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rn
+         |  FROM sc)
+         |SELECT centroid_id AS cell, count(*) AS n_vecs
+         |FROM a WHERE rn = 1 GROUP BY 1 ORDER BY cell""".stripMargin,
+
+    "ann_ivf_topk" ->
+      s"""WITH cent AS (
+         |  SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings
+         |  WHERE vec_id < ${Similarity.ivfCells}),
+         |sc AS (
+         |  SELECT e.vec_id, e.embedding, c.centroid_id,
+         |    round(${duckCosine("e.embedding", "c.ce")}, 6) AS ccos
+         |  FROM embeddings e, cent c),
+         |a AS (
+         |  SELECT vec_id, embedding, centroid_id AS cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rn
+         |  FROM sc),
+         |asg AS (SELECT vec_id, embedding, cell FROM a WHERE rn = 1),
+         |s AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(${duckCosine("q.embedding", "c.embedding")}, 6) AS cos
+         |  FROM asg q JOIN asg c ON q.cell = c.cell AND c.vec_id != q.vec_id
+         |  WHERE q.vec_id < 10),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM s)
+         |SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id, cos
+         |FROM r WHERE rn <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id,

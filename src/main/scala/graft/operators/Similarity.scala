@@ -59,6 +59,48 @@ object Similarity {
         col("neighbor_id"), col("cos"))
   }
 
+  /** IVF coarse quantizer: the first [[ivfCells]] vectors (by vec_id) are
+    * the cell centroids — deterministic (no RNG/k-means, so the DuckDB twin
+    * is exact); every vector is assigned to its max-cosine centroid
+    * (rounded to 6 before ranking, centroid-id tiebreak). At 100 TB the
+    * assignment is a broadcast crossJoin (centroid table is tiny) and the
+    * search becomes an equi-join on cell id — the inverted-file shape.
+    */
+  val ivfCells = 16
+
+  def ivfAssign(emb: DataFrame): DataFrame = {
+    val centroids = emb.filter(col("vec_id") < ivfCells)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
+    val scored = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("centroid_id"),
+        round(Dedup.cosineExpr("embedding", "ce"), 6).as("ccos"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("centroid_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("centroid_id").as("cell"))
+  }
+
+  /** IVF top-k: candidates restricted to the query's cell (nprobe=1). */
+  def ivfTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 3): DataFrame = {
+    val assigned = ivfAssign(emb)
+    val q = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("cell"))
+    val c = assigned.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+      col("cell"))
+    val scored = q.join(c, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Dedup.cosineExpr("qe", "ce"), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"), col("cos"))
+  }
+
   /** LSH-bucketed top-k: same ranking but candidates restricted to the
     * query's bucket (equi-join on bucket — the 100 TB shape).
     */
