@@ -63,21 +63,46 @@ object ExtractPipeline {
       .otherwise(xxhash64(col("conv_id")))
   }
 
-  /** Run the extraction over a transcript-shaped DataFrame. */
+  /** Run the extraction over a transcript-shaped DataFrame.
+    *
+    * `distribution`:
+    *   - `"salted"` (default, the north-rule shape): one full salted
+    *     repartition replaces the reference's work queue — every row
+    *     shuffles once on [[saltColumn]].
+    *   - `"heavy-only"`: the 100 TB-optimal variant — light rows are mapped
+    *     IN PLACE on their scan splits (the scan already distributes; no
+    *     reason to move 100 TB through a shuffle), only the skew-heavy tail
+    *     (payload > [[heavyThreshold]]) is salted-repartitioned per row and
+    *     unioned back. Costs a second pushed-down scan of the predicate
+    *     instead of a full-corpus shuffle write+read. Output is identical
+    *     (pinned by spec) — partitioning never changes per-turn results.
+    */
   def extract(
       spark: SparkSession,
       transcripts: DataFrame,
       numPartitions: Int = 0,
-      config: Engines.CoreConfig = Engines.CoreConfig()
+      config: Engines.CoreConfig = Engines.CoreConfig(),
+      distribution: String = "salted"
   ): Dataset[Extracted] = {
     import spark.implicits._
     val parts =
       if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    transcripts
+    val base = transcripts
       .select(col("conv_id"), col("turn_idx").cast("int").as("turn_idx"),
         col("text"), col("tool"))
-      .repartition(parts, saltColumn()) // O16: the only shuffle
+    val payloadLen = length(coalesce(col("text"), lit(""))) +
+      length(coalesce(col("tool"), lit("")))
+    val prepared = distribution match {
+      case "heavy-only" =>
+        val light = base.filter(payloadLen <= heavyThreshold)
+        val heavy = base.filter(payloadLen > heavyThreshold)
+          .repartition(parts, xxhash64(col("conv_id"), col("turn_idx")))
+        light.unionByName(heavy)
+      case _ =>
+        base.repartition(parts, saltColumn()) // O16: the only shuffle
+    }
+    prepared
       .as[TurnLite]
       .mapPartitions { rows =>
         // one fused iterator: deserialize once, run chain+engine, serialize

@@ -186,6 +186,29 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(heavyPids > 1, "per-row salt must spread one conversation's heavy rows")
   }
 
+  test("distribution: heavy-only (no full shuffle) equals the salted pipeline") {
+    val t = Transcripts.fromDocuments(spark, sfDir)
+    def rows(mode: String) =
+      ExtractPipeline.extract(spark, t, distribution = mode)
+        .select("conv_id", "turn_idx", "text", "status", "engine")
+        .orderBy("conv_id", "turn_idx").collect().toSeq
+    assert(rows("heavy-only") == rows("salted"))
+    // and the light path really avoids shuffling the corpus: the only
+    // Exchange in the heavy-only plan hangs off the heavy-filter branch
+    val plan = ExtractPipeline.extract(spark, t, distribution = "heavy-only")
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllMatchIn(plan).length == 1)
+  }
+
+  test("ann: ivf top-k is subset-consistent with brute force") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val bf = Similarity.bruteForceTopK(emb, nQueries = 5, k = 3)
+      .filter(col("rank") === 1).select(col("query_id"), col("cos").as("bf_cos"))
+    val ivf = Similarity.ivfTopK(emb, nQueries = 5, k = 3)
+      .filter(col("rank") === 1).select(col("query_id"), col("cos").as("ivf_cos"))
+    assert(bf.join(ivf, Seq("query_id")).filter(col("ivf_cos") > col("bf_cos")).count() == 0)
+  }
+
   test("dedup: exact finds exactly the injected duplicates") {
     val doc = Transcripts.documents(spark, sfDir)
     val dups = Dedup.exact(doc).filter(col("n_copies") > 1)
