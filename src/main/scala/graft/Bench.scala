@@ -115,8 +115,8 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     // defaults sized so the whole bench (queries + corpus + 3-level ladder
     // x reps child JVMs) stays well under the driver's time budget
-    val amplify = sys.env.getOrElse("SPARK_GRAFT_AMPLIFY", "1000").toInt
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    val amplify = sys.env.getOrElse("SPARK_GRAFT_AMPLIFY", "800").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
 
     val tStart = System.nanoTime()
     def mark(phase: String): Unit =
@@ -152,25 +152,30 @@ object Bench {
     val coresN = math.max(coresLow * 4, cpus / 4)
     val cores4N = cpus
     // soft time budget: always run >=1 rep per level, skip extra reps when
-    // the budget is spent (insurance against a tight driver timeout)
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "460").toInt
+    // the budget is spent (insurance against a tight driver timeout).
+    // Reps are INTERLEAVED across levels (2,8,32, 2,8,32, ...) so a host
+    // noise burst degrades at most one rep per level, not a whole level.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "500").toInt
     def elapsed = (System.nanoTime() - tStart) / 1e9
-    def bestOf(cores: Int, parts: Int) = {
-      val runs = (1 to reps).flatMap { rep =>
-        if (rep > 1 && elapsed > budgetSec) {
-          mark(s"budget spent, skipping rep $rep at cores=$cores"); None
-        } else {
-          val r = runChild(cores, parts, sfDir, corpusDir)
-          mark(s"child cores=$cores done (${r.map(_._2).getOrElse(-1.0)} s timed)")
-          r
-        }
+    val levels = Seq(coresLow, coresN, cores4N)
+    val runsByLevel = scala.collection.mutable.Map.empty[Int, Vector[(Long, Double, Double)]]
+      .withDefaultValue(Vector.empty)
+    for (rep <- 1 to reps; cores <- levels) {
+      if (rep > 1 && elapsed > budgetSec)
+        mark(s"budget spent, skipping rep $rep at cores=$cores")
+      else {
+        val r = runChild(cores, cores * 4, sfDir, corpusDir)
+        mark(s"child cores=$cores done (${r.map(_._2).getOrElse(-1.0)} s timed)")
+        r.foreach(v => runsByLevel(cores) = runsByLevel(cores) :+ v)
       }
-      if (runs.isEmpty) (0L, Double.NaN, Double.NaN)
-      else runs.minBy(_._2)
     }
-    val (nLow, wallLow, cpuLow) = bestOf(coresLow, coresLow * 4)
-    val (nN, wallN, cpuN) = bestOf(coresN, coresN * 4)
-    val (n4N, wall4N, cpu4N) = bestOf(cores4N, cores4N * 4)
+    def bestOf(cores: Int) = {
+      val runs = runsByLevel(cores)
+      if (runs.isEmpty) (0L, Double.NaN, Double.NaN) else runs.minBy(_._2)
+    }
+    val (nLow, wallLow, cpuLow) = bestOf(coresLow)
+    val (nN, wallN, cpuN) = bestOf(coresN)
+    val (n4N, wall4N, cpu4N) = bestOf(cores4N)
 
     // cleanup corpus
     try {
