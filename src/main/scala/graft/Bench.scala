@@ -155,7 +155,7 @@ object Bench {
     // the budget is spent (insurance against a tight driver timeout).
     // Reps are INTERLEAVED across levels (2,8,32, 2,8,32, ...) so a host
     // noise burst degrades at most one rep per level, not a whole level.
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "500").toInt
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "420").toInt
     def elapsed = (System.nanoTime() - tStart) / 1e9
     val levels = Seq(coresLow, coresN, cores4N)
     val runsByLevel = scala.collection.mutable.Map.empty[Int, Vector[(Long, Double, Double)]]
