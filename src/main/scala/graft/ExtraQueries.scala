@@ -23,15 +23,18 @@ object ExtraQueries {
     val a = run(4).as("a")
     val b = run(16).as("b")
     val joined = a.join(b, Seq("conv_id", "turn_idx"), "full")
-    val mismatch = joined.filter(
-      col("a.text").isNull || col("b.text").isNull ||
-        col("a.text") =!= col("b.text") ||
-        col("a.status") =!= col("b.status") ||
-        col("a.engine") =!= col("b.engine"))
-    val total = run(4).count()
+    // single pass: each pipeline variant executes exactly once
+    val row = joined.agg(
+      count(col("a.status")).as("n_total"),
+      sum(when(
+        col("a.text").isNull || col("b.text").isNull ||
+          col("a.text") =!= col("b.text") ||
+          col("a.status") =!= col("b.status") ||
+          col("a.engine") =!= col("b.engine"), 1L).otherwise(0L)).as("n_mismatch"))
+      .collect()(0)
     s.range(1).select(
-      lit(total).cast("long").as("n_total"),
-      lit(mismatch.count()).cast("long").as("n_mismatch"))
+      lit(row.getLong(0)).cast("long").as("n_total"),
+      lit(row.getLong(1)).cast("long").as("n_mismatch"))
   }
 
   /** Run the lineage-checkpointed pipeline in two chunks (simulating a crash

@@ -206,7 +206,10 @@ object SparkEntry {
 
     // O2: multipart/related parsing with the reference's consumption quirks
     // (first image part wins + immediate return; json-after-image unread;
-    // non-multipart/related rejected) — ocr_http_multipart_handler.go:25-89.
+    // non-json/non-image part rejected "expected content-type: image/*";
+    // EOF without an image part rejected "didn't expect to get this far";
+    // non-multipart/related outer type rejected) —
+    // ocr_http_multipart_handler.go:25-89.
     "o2_multipart" -> ((s, dir) => {
       import s.implicits._
       Transcripts.documents(s, dir)
@@ -219,17 +222,17 @@ object SparkEntry {
           val (outerCt, body) = (id % 4) match {
             case 0 => ("multipart/related", json + image + junk + close)
             case 1 => ("multipart/related", image + json + close)
-            case 2 => ("multipart/related", json + junk + close)
-            case _ => ("multipart/mixed", json + image + close)
+            case 2 => ("multipart/related", json + close)
+            case _ => ("multipart/related", json + junk + close)
           }
           Multipart.extractParts(outerCt, "b", body) match {
-            case Left(_) => (id, false, false, "", 0)
+            case Left(e) => (id, false, false, "", 0, e)
             case Right(x) =>
               (id, true, x.json.nonEmpty,
-                if (x.imgBytes == null) "" else Payload.utf8(x.imgBytes), x.partsRead)
+                if (x.imgBytes == null) "" else Payload.utf8(x.imgBytes), x.partsRead, "")
           }
         }
-        .toDF("doc_id", "ok", "has_json", "img_text", "parts_read")
+        .toDF("doc_id", "ok", "has_json", "img_text", "parts_read", "err")
         .orderBy("doc_id")
     }),
 
@@ -271,8 +274,10 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // O21: admission gate (queued < consumers×factor AND mem < 95% —
-    // ocr_res_manager.go:98-120), columnar.
+    // O21: admission gate (queued < consumers×factor AND mem used below the
+    // truncating-integer-division 95% ceiling — ocr_res_manager.go:98-120),
+    // columnar. mem_limit varies 99..102 so the floor-division boundary
+    // (where memLimit*95 % 100 != 0) is actually exercised.
     "o21_admission" -> ((s, dir) => {
       Transcripts.documents(s, dir)
         .select(col("doc_id"),
@@ -280,7 +285,7 @@ object SparkEntry {
           (pmod(col("doc_id"), lit(8L)) + 1).as("consumers"),
           lit(2L).as("factor"),
           pmod(col("doc_id") * 7, lit(100L)).as("mem_used"),
-          lit(100L).as("mem_limit"))
+          (lit(99L) + pmod(col("doc_id"), lit(4L))).as("mem_limit"))
         .withColumn("accept",
           GraftFunctions.admissionAccept(col("queued"), col("consumers"),
             col("factor"), col("mem_used"), col("mem_limit")))
@@ -507,11 +512,15 @@ object SparkEntry {
 
       "o2_multipart" ->
         """SELECT doc_id,
-          |  (doc_id % 4 != 3) AS ok,
-          |  (doc_id % 4 IN (0, 2)) AS has_json,
+          |  (doc_id % 4 IN (0, 1)) AS ok,
+          |  (doc_id % 4 = 0) AS has_json,
           |  CASE WHEN doc_id % 4 IN (0, 1) THEN text ELSE '' END AS img_text,
-          |  CAST(CASE doc_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 0 END
-          |    AS INTEGER) AS parts_read
+          |  CAST(CASE doc_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END
+          |    AS INTEGER) AS parts_read,
+          |  CASE doc_id % 4
+          |    WHEN 2 THEN 'didn''t expect to get this far'
+          |    WHEN 3 THEN 'expected content-type: image/*'
+          |    ELSE '' END AS err
           |FROM documents ORDER BY doc_id""".stripMargin,
 
       "o13_t2p_fallback" ->
@@ -528,7 +537,7 @@ object SparkEntry {
         """SELECT doc_id,
           |  CAST(least(doc_id % 5 + 1, 3) AS INTEGER) AS attempts,
           |  (doc_id % 5 < 3) AS delivered,
-          |  CAST((least(doc_id % 5 + 1, 3) - 1) * 2 AS INTEGER) AS backoff_s
+          |  CAST(least(doc_id % 5, 3) * 2 AS INTEGER) AS backoff_s
           |FROM documents ORDER BY doc_id""".stripMargin,
 
       "o21_admission" ->
@@ -537,8 +546,9 @@ object SparkEntry {
           |  doc_id % 8 + 1 AS consumers,
           |  CAST(2 AS BIGINT) AS factor,
           |  (doc_id * 7) % 100 AS mem_used,
-          |  CAST(100 AS BIGINT) AS mem_limit,
-          |  (doc_id % 50 < (doc_id % 8 + 1) * 2 AND ((doc_id * 7) % 100) * 100 < 9500)
+          |  99 + doc_id % 4 AS mem_limit,
+          |  (doc_id % 50 < (doc_id % 8 + 1) * 2
+          |   AND (doc_id * 7) % 100 < ((99 + doc_id % 4) * 95) // 100)
           |    AS accept
           |FROM documents ORDER BY doc_id""".stripMargin,
 

@@ -83,6 +83,13 @@ object Html {
     var boilerDepth = 0
     var linkDepth = 0
     val stack = mutable.ArrayBuffer.empty[String]
+    // one lowercase copy, built lazily on the first raw-text element: a
+    // script-dense document must not re-lowercase the whole input per tag
+    var lowerCache: String = null
+    def lowerHtml: String = {
+      if (lowerCache == null) lowerCache = html.toLowerCase
+      lowerCache
+    }
 
     def appendText(t: String): Unit = if (boilerDepth == 0 && t.nonEmpty) {
       val decoded = decodeEntities(t)
@@ -112,7 +119,7 @@ object Html {
               if (!closing) {
                 // raw-text elements: skip to the matching close tag entirely
                 if (name == "script" || name == "style") {
-                  val close = html.toLowerCase.indexOf(s"</$name", e + 1)
+                  val close = lowerHtml.indexOf(s"</$name", e + 1)
                   i = if (close < 0) n
                   else {
                     val ce = html.indexOf('>', close)

@@ -4,12 +4,17 @@ package graft.core
   * (`/root/reference/ocr_http_multipart_handler.go:25-89`), with the
   * reference's exact consumption quirks:
   *
-  *   - the outer Content-Type must be `multipart/related` (lines 29-37);
+  *   - the outer Content-Type must be `multipart/related` (lines 29-37,
+  *     error "expected multipart related");
   *   - parts are consumed in order: an `application/json` part populates the
-  *     request (lines 57-70); the FIRST `image/…` part populates the payload
-  *     bytes and parsing RETURNS IMMEDIATELY (lines 72-78) — trailing parts
-  *     (including a json part after the image) are never read;
-  *   - parts of any other content type are skipped (no error).
+  *     request (lines 57-70); the FIRST `image…` part (prefix match, per the
+  *     reference's `strings.HasPrefix(contentType, "image")`) populates the
+  *     payload bytes and parsing RETURNS IMMEDIATELY (lines 72-78) —
+  *     trailing parts (including a json part after the image) are never read;
+  *   - a part of any OTHER content type is an error
+  *     ("expected content-type: image" + "/ *", the handler's default branch);
+  *   - reaching the end of the body without an image part is an error
+  *     ("didn't expect to get this far").
   */
 object Multipart {
 
@@ -56,7 +61,7 @@ object Multipart {
     */
   def extractParts(contentType: String, boundary: String, body: String): Either[String, Extracted] = {
     if (!contentType.toLowerCase.startsWith("multipart/related"))
-      Left("Expected multipart related") // ocr_http_multipart_handler.go:33-37
+      Left("expected multipart related") // ocr_http_multipart_handler.go:33-37
     else {
       var json = ""
       var read = 0
@@ -64,13 +69,19 @@ object Multipart {
       while (it.hasNext) {
         val p = it.next()
         read += 1
-        if (p.contentType.toLowerCase.contains("application/json")) json = p.body
-        else if (p.contentType.toLowerCase.startsWith("image/"))
+        // media type = content-type value up to any ";params", trimmed —
+        // the analog of Go's mime.ParseMediaType before the switch
+        val mt = p.contentType.toLowerCase.takeWhile(_ != ';').trim
+        if (mt == "application/json") json = p.body
+        else if (mt.startsWith("image"))
           // first image part wins; return IMMEDIATELY (lines 77-78)
           return Right(Extracted(json, Payload.bytes(p.body), read))
-        // other content types: skipped silently
+        else
+          // neither json nor image: the handler's default branch errors
+          return Left("expected content-type: image/*")
       }
-      Right(Extracted(json, null, read))
+      // EOF without an image part (ocr_http_multipart_handler.go:84)
+      Left("didn't expect to get this far")
     }
   }
 }

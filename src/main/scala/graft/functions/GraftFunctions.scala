@@ -55,11 +55,14 @@ object GraftFunctions {
 
   /** O21 column variant of the admission gate
     * (`ocr_res_manager.go:98-120`, threshold `ocr_res_manager.go:23`):
-    * accept iff queued < consumers × factor AND memUsed < 0.95 × memLimit.
-    * Memory compare is integer-exact (×100 vs ×95) so Spark and SQL agree.
+    * accept iff queued < consumers × factor AND
+    * memUsed < (memLimit × 95) / 100 with TRUNCATING integer division,
+    * matching the reference's Go int64 math exactly (`ocr_res_manager.go:108`).
+    * `floor` over the double quotient is exact for any memLimit < 2^53/95.
     */
   def admissionAccept(
       queued: Column, consumers: Column, factor: Column,
       memUsed: Column, memLimit: Column): Column =
-    (queued < consumers * factor) && (memUsed * lit(100L) < memLimit * lit(95L))
+    (queued < consumers * factor) &&
+      (memUsed < floor(memLimit * lit(95L) / lit(100L)))
 }

@@ -84,11 +84,11 @@ object TextAnalysis {
     * re-reading the document).
     */
   def rollingHash(text: Column): Column =
-    expr(
-      """aggregate(
-        |  transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1))),
-        |  CAST(0 AS BIGINT),
-        |  (h, c) -> (h * 31 + c) % 2147483647)""".stripMargin)
+    aggregate(
+      transform(sequence(lit(1), length(text)),
+        i => ascii(text.substr(i, lit(1))).cast("bigint")),
+      lit(0L),
+      (h, c) => (h * lit(31L) + c) % lit(2147483647L))
 
   /** Document fingerprint: md5 of the whitespace-normalized text plus the
     * rolling hash (the cheap incremental variant; the shingled form is in

@@ -181,6 +181,21 @@ class CoreSpec extends AnyFunSuite {
     assert(r.status == "done")
   }
 
+  test("html: script-dense 1 MB document extracts in bounded time") {
+    // regression: Html.extract used to re-lowercase the WHOLE document at
+    // every <script>/<style> open tag (O(tags x n) copies); with ~38k script
+    // tags in 1 MB that is ~38 GB of char copying. One hoisted lowercase
+    // makes this linear.
+    val sb = new StringBuilder("<body><p>This paragraph should be kept as main content.</p>")
+    while (sb.length < (1 << 20)) sb.append("<script>var x = 1;</script>")
+    sb.append("</body>")
+    val t0 = System.nanoTime()
+    val out = Html.extract(sb.toString)
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(out == "This paragraph should be kept as main content.")
+    assert(ms < 2000, s"script-dense 1MB doc took $ms ms — lowercase hoist regressed")
+  }
+
   test("tesseract: char whitelist filters output (tesseract_engine_test.go:22-29)") {
     val r = Extractor.extractTurn("c", 0, "abc 123 def 456",
       """{"engine":"tesseract","engine_args":{"config_vars":{"tessedit_char_whitelist":"0123456789"}}}""")
@@ -370,8 +385,21 @@ class CoreSpec extends AnyFunSuite {
   }
 
   test("multipart: non-related outer content type rejected (lines 33-37)") {
-    assert(Multipart.extractParts("multipart/mixed", "b", mpJson + "--b--").isLeft)
+    assert(Multipart.extractParts("multipart/mixed", "b", mpJson + mpImage + "--b--") ==
+      Left("expected multipart related"))
     assert(Multipart.extractParts("application/json", "b", mpJson + "--b--").isLeft)
+  }
+
+  test("multipart: a non-json/non-image part is an error (default branch)") {
+    assert(Multipart.extractParts("multipart/related", "b", mpJson + mpJunk + mpImage + "--b--") ==
+      Left("expected content-type: image/*"))
+  }
+
+  test("multipart: EOF without an image part is an error (line 84)") {
+    assert(Multipart.extractParts("multipart/related", "b", mpJson + "--b--") ==
+      Left("didn't expect to get this far"))
+    assert(Multipart.extractParts("multipart/related", "b", "--b--") ==
+      Left("didn't expect to get this far"))
   }
 
   test("multipart: CRLF bodies parse identically") {
@@ -398,8 +426,10 @@ class CoreSpec extends AnyFunSuite {
   test("postback retry policy: 3 attempts max, 2 s backoff (ocr_rpc_client.go:20,250-263)") {
     assert(Delivery.postbackOutcome(0) == ((1, true, 0)))
     assert(Delivery.postbackOutcome(2) == ((3, true, 4)))
-    assert(Delivery.postbackOutcome(3) == ((3, false, 4)))
-    assert(Delivery.postbackOutcome(9) == ((3, false, 4)))
+    // the reference sleeps after EVERY failed attempt incl. the last: the
+    // all-fail case sleeps 3 times = 6 s, not (attempts-1)*2 = 4 s
+    assert(Delivery.postbackOutcome(3) == ((3, false, 6)))
+    assert(Delivery.postbackOutcome(9) == ((3, false, 6)))
   }
 
   test("admission gate: queue factor AND 95% memory ceiling (ocr_res_manager.go:98-120)") {
@@ -407,6 +437,10 @@ class CoreSpec extends AnyFunSuite {
     assert(!Delivery.admit(queued = 4, consumers = 2, factor = 2, memUsed = 50, memLimit = 100))
     assert(!Delivery.admit(queued = 3, consumers = 2, factor = 2, memUsed = 95, memLimit = 100))
     assert(Delivery.admit(queued = 0, consumers = 1, factor = 2, memUsed = 94, memLimit = 100))
+    // truncating integer division boundary (ocr_res_manager.go:108):
+    // limit=101 -> ceiling 101*95/100 = 95 (not 95.95) -> used=95 REJECTED
+    assert(!Delivery.admit(queued = 0, consumers = 1, factor = 2, memUsed = 95, memLimit = 101))
+    assert(Delivery.admit(queued = 0, consumers = 1, factor = 2, memUsed = 95, memLimit = 102))
   }
 
   // --- O19: deferred-result store, one-shot claim + decay
