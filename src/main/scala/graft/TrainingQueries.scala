@@ -195,7 +195,20 @@ object TrainingQueries {
          |FROM h ORDER BY doc_id""".stripMargin
     },
 
-    "dedup_embedding" ->
+    "dedup_embedding" -> {
+      // content-derived LSH bands over the double[64] emb — same plane
+      // signs and 4-bands-of-2 split as Dedup.nearDupBandValue
+      def duckPlaneDotD(j: Int): String =
+        s"""list_sum(list_transform(range(1, 65),
+           |  n -> emb[n] * (CASE WHEN (n * ${j + 3}) % 7 <= 3 THEN 1.0 ELSE -1.0 END)))""".stripMargin
+      val bandCols = (0 until graft.operators.Dedup.nearDupBands).map { b =>
+        val bits = (0 until graft.operators.Dedup.nearDupPlanesPerBand).map { r =>
+          s"(CASE WHEN (${duckPlaneDotD(b * graft.operators.Dedup.nearDupPlanesPerBand + r)}) > 0 THEN ${1 << r} ELSE 0 END)"
+        }.mkString(" + ")
+        s"CAST($bits AS INTEGER) AS band$b"
+      }.mkString(",\n  ")
+      val anyBand = (0 until graft.operators.Dedup.nearDupBands)
+        .map(b => s"a.band$b = b.band$b").mkString(" OR ")
       s"""WITH base AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
          |  UNION ALL
@@ -204,12 +217,13 @@ object TrainingQueries {
          |      i -> CASE WHEN i = 1 THEN CAST(embedding[i] AS DOUBLE) + 0.5
          |                ELSE CAST(embedding[i] AS DOUBLE) END) AS emb
          |  FROM embeddings),
-         |k AS (SELECT vec_id, vec_id % 10000 AS bucket, emb FROM base)
-         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |k AS (SELECT vec_id, emb, $bandCols FROM base)
+         |SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id,
          |  round(${duckCosine("a.emb", "b.emb")}, 6) AS cos
-         |FROM k a JOIN k b ON a.bucket = b.bucket AND b.vec_id > a.vec_id
+         |FROM k a JOIN k b ON ($anyBand) AND b.vec_id > a.vec_id
          |WHERE round(${duckCosine("a.emb", "b.emb")}, 6) >= 0.8
-         |ORDER BY a_id, b_id""".stripMargin,
+         |ORDER BY a_id, b_id""".stripMargin
+    },
 
     "ann_topk" ->
       s"""WITH s AS (

@@ -62,24 +62,51 @@ object Similarity {
   /** IVF coarse quantizer: the first [[ivfCells]] vectors (by vec_id) are
     * the cell centroids — deterministic (no RNG/k-means, so the DuckDB twin
     * is exact); every vector is assigned to its max-cosine centroid
-    * (rounded to 6 before ranking, centroid-id tiebreak). At 100 TB the
-    * assignment is a broadcast crossJoin (centroid table is tiny) and the
-    * search becomes an equi-join on cell id — the inverted-file shape.
+    * (rounded to 6 before ranking, centroid-id tiebreak).
+    *
+    * The centroid table is tiny, so the assignment is a PURE NARROW MAP:
+    * the centroids are collected once (a 16-row driver fetch — the
+    * "broadcast" of the inverted-file shape) and inlined as array literals;
+    * each row scores all cells inside one codegen'd projection and takes
+    * the argmax with `array_position(scores, array_max(scores))` (first
+    * occurrence = lowest centroid id, the same tiebreak as the previous
+    * `row_number` form). Zero Exchange before cell assignment — the
+    * previous implementation shuffled the full corpus (16 scored rows per
+    * vector) through a `row_number() over (partition by vec_id)` window,
+    * which at 100 TB is a cluster-wide shuffle of 16x the corpus. Pinned by
+    * a plan test (no Exchange, no Window).
     */
   val ivfCells = 16
 
   def ivfAssign(emb: DataFrame): DataFrame = {
-    val centroids = emb.filter(col("vec_id") < ivfCells)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
-    val scored = emb.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("embedding"), col("centroid_id"),
-        round(Dedup.cosineExpr("embedding", "ce"), 6).as("ccos"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("centroid_id").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("centroid_id").as("cell"))
+    // float->double is exact, so the JVM-side cast equals SQL CAST(x AS DOUBLE)
+    val cents: Array[(Long, Array[Double])] = emb.filter(col("vec_id") < ivfCells)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ce"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val withNa = emb
+      .select(col("vec_id"), col("embedding"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb_d"))
+      .withColumn("na",
+        aggregate(transform(col("emb_d"), x => x * x), lit(0d), (acc, v) => acc + v))
+    // per-cell cosine, same op order as Dedup.cosineExpr / the DuckDB twin:
+    // round(dot / sqrt(na * nb), 6); nb folds sequentially like `aggregate`
+    val scores = cents.map { case (_, ce) =>
+      val nb = ce.foldLeft(0d)((acc, x) => acc + x * x)
+      val dot = aggregate(
+        zip_with(col("emb_d"), typedlit(ce.toSeq), (x, y) => x * y),
+        lit(0d), (acc, v) => acc + v)
+      round(dot / sqrt(col("na") * lit(nb)), 6)
+    }
+    val ids = typedlit(cents.map(_._1).toSeq)
+    withNa
+      .withColumn("ccos_arr", array(scores.toIndexedSeq: _*))
+      .select(col("vec_id"), col("embedding"),
+        element_at(ids,
+          array_position(col("ccos_arr"), array_max(col("ccos_arr"))).cast("int"))
+          .as("cell"))
   }
 
   /** IVF top-k: candidates restricted to the query's cell (nprobe=1). */

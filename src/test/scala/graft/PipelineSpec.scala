@@ -200,6 +200,15 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("Exchange".r.findAllMatchIn(plan).length == 1)
   }
 
+  test("plan: ivf assignment is a pure narrow map (zero Exchange, no Window)") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val plan = Similarity.ivfAssign(emb).queryExecution.executedPlan.toString
+    // the argmax over the broadcast centroid list must happen map-side:
+    // no shuffle keyed by vec_id, no row_number window
+    assert(!plan.contains("Exchange"), s"plan:\n$plan")
+    assert(!plan.contains("Window"), s"plan:\n$plan")
+  }
+
   test("ann: ivf top-k is subset-consistent with brute force") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val bf = Similarity.bruteForceTopK(emb, nQueries = 5, k = 3)
@@ -224,12 +233,32 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.count() == doc.filter(pmod(col("doc_id"), lit(4)) === 0).count())
   }
 
-  test("dedup: injected near-dup embeddings score close to 1") {
+  test("dedup: injected near-dup embeddings found via content blocking") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val pairs = Dedup.embeddingNearDup(emb, minCos = 0.8)
-    assert(pairs.count() == emb.count()) // one injected pair per vector
+    val pairs = Dedup.embeddingNearDup(emb, minCos = 0.8).cache()
+    // blocking is CONTENT-based (LSH bucket), not id-based: an injected twin
+    // is only missed when its +0.5 dim-1 shift flips a near-zero plane bit —
+    // the standard single-table LSH recall trade-off. Require high recall.
+    val twins = pairs.filter(col("b_id") === col("a_id") + 10000L).count()
+    assert(twins >= (emb.count() * 0.9).toLong,
+      s"banded content blocking found $twins of ${emb.count()} injected twins")
     val mins = pairs.agg(min("cos"), max("cos")).collect()(0)
     assert(mins.getDouble(0) > 0.8 && mins.getDouble(1) <= 1.0)
+    pairs.unpersist()
+  }
+
+  test("dedup: near-dup pair with UNRELATED ids is found (id-blind blocking)") {
+    import spark.implicits._
+    // two nearly-parallel vectors whose ids share no arithmetic relation:
+    // id-based blocking (vec_id % 10000) can never compare them
+    val v = (1 to 64).map(i => 1.0 + i / 64.0)
+    val w = v.updated(2, v(2) + 0.01)
+    val base = Seq((123L, v), (9876543L, w))
+      .toDF("vec_id", "emb")
+    val pairs = Dedup.nearDupPairs(base, minCos = 0.8).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getLong(0) == 123L && pairs(0).getLong(1) == 9876543L)
+    assert(pairs(0).getDouble(2) > 0.99)
   }
 
   test("ann: lsh top-k is a subset-consistent restriction of brute force") {
