@@ -33,8 +33,13 @@ object TrainingQueries {
       | UNION ALL
       | SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 4 = 0)""".stripMargin
 
+  /** DuckDB twin of Dedup.minhashK over the pre-hashed `hcat` column. */
   private def duckMinhash(k: Int): String =
-    s"CAST(list_min(list_transform(grams, g -> CAST('0x' || substr(md5('$k:' || g), 1, 8) AS BIGINT))) AS VARCHAR)"
+    s"CAST(list_min(list_transform(hcat, s -> CAST('0x' || substr(s, ${8 * k + 1}, 8) AS BIGINT))) AS VARCHAR)"
+
+  /** DuckDB twin of the hcat stage: 4 md5 digests per shingle, concatenated. */
+  private val duckHcat =
+    "list_transform(grams, g -> md5('0:' || g) || md5('1:' || g) || md5('2:' || g) || md5('3:' || g))"
 
   private def duckPlaneDot(j: Int): String =
     s"""list_sum(list_transform(range(1, 65),
@@ -64,6 +69,9 @@ object TrainingQueries {
 
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(Transcripts.documents(s, dir)).orderBy("doc_id")),
+
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(Transcripts.documents(s, dir)).orderBy("a_id", "b_id")),
 
     "dedup_embedding" -> ((s, dir) =>
       s.read.parquet(s"$dir/embeddings.parquet")
@@ -167,20 +175,30 @@ object TrainingQueries {
          |FROM g a JOIN g b ON b.doc_id > a.doc_id AND b.doc_id - a.doc_id <= 2
          |ORDER BY a_id, b_id""".stripMargin,
 
-    "dedup_minhash_lsh" ->
+    "dedup_minhash_lsh" -> {
+      import graft.operators.Dedup.{minhashBandCount, minhashRowsPerBand}
+      val bandExprs = (0 until minhashBandCount).map { b =>
+        val rows = (0 until minhashRowsPerBand)
+          .map(r => duckMinhash(b * minhashRowsPerBand + r))
+          .mkString(" || '_' || ")
+        s"md5($rows) AS band$b"
+      }.mkString(",\n  ")
+      val anyBand = (0 until minhashBandCount)
+        .map(b => s"a.band$b = b.band$b").mkString(" OR ")
       s"""WITH base AS $duckDupBase,
          |g AS (
          |  SELECT doc_id, $duckShingles AS grams
          |  FROM base WHERE len(string_split(text, ' ')) >= 3),
+         |h AS (SELECT doc_id, $duckHcat AS hcat FROM g),
          |sig AS (
          |  SELECT doc_id,
-         |    md5(${duckMinhash(0)} || '_' || ${duckMinhash(1)}) AS band0,
-         |    md5(${duckMinhash(2)} || '_' || ${duckMinhash(3)}) AS band1
-         |  FROM g)
+         |  $bandExprs
+         |  FROM h)
          |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          |FROM sig a JOIN sig b
-         |  ON (a.band0 = b.band0 OR a.band1 = b.band1) AND a.doc_id < b.doc_id
-         |ORDER BY a_id, b_id""".stripMargin,
+         |  ON ($anyBand) AND a.doc_id < b.doc_id
+         |ORDER BY a_id, b_id""".stripMargin
+    },
 
     "dedup_simhash" -> {
       val bitTerms = (0 until Dedup.simhashBits).map { b =>
@@ -193,6 +211,24 @@ object TrainingQueries {
          |  FROM documents)
          |SELECT doc_id, CAST($bitTerms AS INTEGER) AS simhash
          |FROM h ORDER BY doc_id""".stripMargin
+    },
+
+    "dedup_simhash_pairs" -> {
+      val bitTerms = (0 until Dedup.simhashBits).map { b =>
+        s"(CASE WHEN len(list_filter(hs, x -> ((x >> $b) & 1) = 1)) * 2 > len(hs) THEN ${1 << b} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    list_transform(string_split(text, ' '),
+         |      t -> CAST('0x' || substr(md5(t), 1, 4) AS INTEGER)) AS hs
+         |  FROM $duckDupBase),
+         |sig AS (SELECT doc_id, CAST($bitTerms AS INTEGER) AS simhash FROM h),
+         |k AS (SELECT doc_id, simhash, simhash >> 8 AS block FROM sig)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |FROM k a JOIN k b ON a.block = b.block AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY a_id, b_id""".stripMargin
     },
 
     "dedup_embedding" -> {

@@ -70,45 +70,68 @@ object Dedup {
           4).as("jaccard"))
   }
 
-  /** One MinHash value: min over shingles of a keyed 32-bit hash derived from
-    * md5 (hex -> int via `conv`; the DuckDB twin is
-    * `CAST('0x' || substr(md5(k || ':' || g), 1, 8) AS BIGINT)`).
+  /** Production-shape MinHash parameters: 16 hash functions banded as
+    * 4 bands x 4 rows. The 16 keyed 32-bit hashes per shingle come from
+    * FOUR md5 evaluations (each 32-hex digest is split into four 8-hex
+    * words), computed once per shingle in [[minhashSignature]]'s `hcat`
+    * stage — so the md5 cost equals the old 4-hash signature while the
+    * banding matches the r*b structure real pipelines run.
+    */
+  val minhashHashes = 16
+  val minhashBandCount = 4
+  val minhashRowsPerBand = 4
+
+  /** MinHash value k over the pre-hashed `hcat` column (one 128-hex string
+    * per shingle = 4 concatenated md5 digests): word k is hex digits
+    * [8k+1, 8k+8], decoded via `conv` (DuckDB twin:
+    * `CAST('0x' || substr(s, 8k+1, 8) AS BIGINT)`).
     */
   private def minhashK(k: Int): String =
-    s"""array_min(transform(grams,
-       |  g -> CAST(conv(substring(md5(concat('$k:', g)), 1, 8), 16, 10) AS BIGINT)))""".stripMargin
+    s"""array_min(transform(hcat,
+       |  s -> CAST(conv(substring(s, ${8 * k + 1}, 8), 16, 10) AS BIGINT)))""".stripMargin
 
-  /** MinHash signature (4 hash functions) + 2 LSH bands of 2 hashes each. */
-  def minhashSignature(doc: DataFrame): DataFrame =
-    doc
+  /** MinHash signature: [[minhashHashes]] hashes -> [[minhashBandCount]]
+    * band keys (md5 over the '_'-joined band rows).
+    */
+  def minhashSignature(doc: DataFrame): DataFrame = {
+    val withHcat = doc
       .filter(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id"), shingles(col("text")).as("grams"))
-      .select(
-        col("doc_id"),
-        expr(minhashK(0)).as("m0"), expr(minhashK(1)).as("m1"),
-        expr(minhashK(2)).as("m2"), expr(minhashK(3)).as("m3"))
-      .select(col("doc_id"),
-        md5(concat(col("m0"), lit("_"), col("m1"))).as("band0"),
-        md5(concat(col("m2"), lit("_"), col("m3"))).as("band1"))
+      .select(col("doc_id"), expr(
+        """transform(grams, g -> concat(
+          |  md5(concat('0:', g)), md5(concat('1:', g)),
+          |  md5(concat('2:', g)), md5(concat('3:', g))))""".stripMargin).as("hcat"))
+    val ms = (0 until minhashHashes).map(k => expr(minhashK(k)).as(s"m$k"))
+    val withM = withHcat.select((col("doc_id") +: ms): _*)
+    val bandCols = (0 until minhashBandCount).map { b =>
+      val rows = (0 until minhashRowsPerBand)
+        .map(r => col(s"m${b * minhashRowsPerBand + r}").cast("string"))
+      md5(concat_ws("_", rows: _*)).as(s"band$b")
+    }
+    withM.select((col("doc_id") +: bandCols): _*)
+  }
 
-  /** LSH candidate pairs: docs sharing any band bucket. ONE equi-join on the
-    * exploded (band_idx, band_val) key — exactly the OR-of-bands semantics,
-    * but a single shuffle instead of two self-joins, and the md5-heavy
-    * signature is persisted so it is computed once (not once per join side).
-    * At 100 TB this persist becomes a materialized signature table.
+  /** LSH candidate pairs: docs sharing any band bucket. ONE shuffle total:
+    * signatures are exploded on (band_idx, band_val), grouped per bucket,
+    * and sorted in-bucket pairs are generated with an array expression —
+    * no self-join, so the md5-heavy signature is computed exactly once and
+    * nothing needs to be persisted (the r01 version persisted the signature
+    * for a two-sided join and leaked the cached blocks). At 100 TB the
+    * groupBy side is the materialized signature table; hot buckets are
+    * bounded by band width and handled by AQE.
     */
   def minhashBands(doc: DataFrame): DataFrame = {
-    val sig = minhashSignature(withInjectedDups(doc))
-      .select(col("doc_id"),
-        posexplode(array(col("band0"), col("band1"))).as(Seq("band_idx", "band_val")))
-      .persist()
-    val a = sig.as("a")
-    val b = sig.as("b")
-    a.join(b,
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_val") === col("b.band_val") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+    val bands = array((0 until minhashBandCount).map(b => col(s"band$b")): _*)
+    minhashSignature(withInjectedDups(doc))
+      .select(col("doc_id"), posexplode(bands).as(Seq("band_idx", "band_val")))
+      .groupBy("band_idx", "band_val")
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), y ->
+          |    named_struct('a_id', x, 'b_id', y))))""".stripMargin)).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
       .distinct()
   }
 
@@ -128,6 +151,28 @@ object Dedup {
     }
     withHashes.select(col("doc_id"),
       bitTerms.reduce(_ + _).cast("int").as("simhash"))
+  }
+
+  /** SimHash near-dup PAIRS (the signature alone dedups nothing): prefix
+    * blocking on the top 8 of the 16 signature bits, hamming distance <=
+    * `maxHamming` within the block via `bit_count(xor)`. Runs over the
+    * dup-injected corpus so exact duplicates (hamming 0) are guaranteed
+    * positives. Prefix blocking misses a pair whose flipped bits land in
+    * the top byte — the standard trade-off, fixed in production by also
+    * blocking on bit-rotations of the signature; the block join itself is
+    * the scale shape (equi-join on an 8-bit key, narrow signature map).
+    */
+  def simhashPairs(doc: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sig = simhash(withInjectedDups(doc))
+      .withColumn("block", shiftright(col("simhash"), 8))
+    val a = sig.as("a")
+    val b = sig.as("b")
+    a.join(b, col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("a_id"),
+        col("b.doc_id").as("b_id"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** Embedding-cosine near-dup pairs over a candidate window. The cosine is

@@ -141,4 +141,47 @@ object ExtractPipeline {
         count(lit(1)).as("n_rows"),
         sum(col("n_chars_in")).cast("long").as("chars_in"),
         sum(col("n_chars_out")).cast("long").as("chars_out"))
+
+  /** O22 histogram analog — the reference's latency and request-size
+    * histograms (`prometheus_metrics.go:25-41`: duration buckets .01–10 s,
+    * size buckets 100–50M) as cumulative bucket counts per (status, engine).
+    *
+    * The duration proxy is DETERMINISTIC — request chars /
+    * [[histogramCharsPerSecond]] — so bucket counts are reproducible and
+    * oracle-checkable (the reference observes wall time, which no
+    * cross-engine oracle could verify; a production deployment would
+    * `observe` wall time into the same bucket layout). Plan shape: ONE
+    * shuffle (the groupBy with map-side partial agg); the unpivot explodes
+    * over the handful of (status, engine) groups, not the corpus.
+    */
+  val durationBuckets: Seq[Double] = Seq(0.01, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 10.0)
+  val sizeBuckets: Seq[Long] = Seq(100L, 1500L, 5000000L, 10000000L, 25000000L, 50000000L)
+  val histogramCharsPerSecond = 100000.0
+
+  def histograms(extracted: Dataset[Extracted]): DataFrame = {
+    val dur = col("n_chars_in").cast("double") / lit(histogramCharsPerSecond)
+    val durAggs = durationBuckets.zipWithIndex.map { case (v, i) =>
+      sum(when(dur <= lit(v), 1L).otherwise(0L)).as(s"d$i")
+    }
+    val sizeAggs = sizeBuckets.zipWithIndex.map { case (v, i) =>
+      sum(when(col("n_chars_in") <= lit(v), 1L).otherwise(0L)).as(s"s$i")
+    }
+    val aggs = durAggs ++ sizeAggs
+    val g = extracted.groupBy(col("status"), col("engine"))
+      .agg(count(lit(1)).as("total"), aggs: _*)
+    val entries =
+      durationBuckets.zipWithIndex.map { case (v, i) =>
+        struct(lit("duration_seconds").as("metric"), lit(v.toString).as("le"),
+          col(s"d$i").as("n"))
+      } ++ Seq(struct(lit("duration_seconds").as("metric"), lit("+Inf").as("le"),
+        col("total").as("n"))) ++
+        sizeBuckets.zipWithIndex.map { case (v, i) =>
+          struct(lit("request_size_bytes").as("metric"), lit(v.toString).as("le"),
+            col(s"s$i").as("n"))
+        } ++ Seq(struct(lit("request_size_bytes").as("metric"), lit("+Inf").as("le"),
+        col("total").as("n")))
+    g.select(col("status"), col("engine"), explode(array(entries: _*)).as("h"))
+      .select(col("status"), col("engine"),
+        col("h.metric").as("metric"), col("h.le").as("le"), col("h.n").as("n"))
+  }
 }

@@ -46,6 +46,49 @@ object StreamPipeline {
     q.awaitTermination()
   }
 
+  /** O20 postback as an ACTUAL side output
+    * (`/root/reference/ocr_postback_client.go:27-78`, retry loop
+    * `ocr_rpc_client.go:232-277`): each micro-batch's extraction results are
+    * "posted back" through [[graft.core.Delivery.postbackOutcome]] and the
+    * per-row attempt/outcome is recorded in a delivery table via
+    * `foreachBatch` — the Spark shape of a side-effecting sink, idempotent
+    * per micro-batch through the checkpoint. Failure counts are simulated
+    * deterministically (turn_idx % 5) so the delivery table is
+    * oracle-checkable; a real deployment would substitute the HTTP POST and
+    * record the observed outcome in the same table.
+    */
+  def runPostbackSink(
+      spark: SparkSession,
+      inputDir: String,
+      deliveryDir: String,
+      checkpointDir: String
+  ): Unit = {
+    val stream = spark.readStream.schema(transcriptSchema).parquet(inputDir)
+    val extracted = ExtractPipeline.extract(spark, stream)
+    val q = extracted.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[ExtractPipeline.Extracted], _: Long) =>
+          val s = batch.sparkSession
+          import s.implicits._
+          batch
+            .map { e =>
+              val failures = ((e.turn_idx % 5) + 5) % 5
+              val (attempts, delivered, backoff) =
+                graft.core.Delivery.postbackOutcome(failures)
+              (e.conv_id, e.turn_idx, e.status, attempts, delivered, backoff,
+                "X-open-ocr-reply-type: json")
+            }
+            .toDF("conv_id", "turn_idx", "status", "attempts", "delivered",
+              "backoff_s", "reply_header")
+            .write.mode("append").parquet(deliveryDir)
+          ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Watermarked per-minute turn counts by role — the event-time metrics
     * window the reference lacks (its histograms are processing-time only,
     * `prometheus_metrics.go:25-32`).

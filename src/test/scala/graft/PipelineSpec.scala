@@ -233,6 +233,13 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.count() == doc.filter(pmod(col("doc_id"), lit(4)) === 0).count())
   }
 
+  test("dedup: simhash pairs find every injected exact-dup at hamming 0") {
+    val doc = Transcripts.documents(spark, sfDir)
+    val exact = Dedup.simhashPairs(doc)
+      .filter(col("b_id") === col("a_id") + 1000000L && col("hamming") === 0)
+    assert(exact.count() == doc.filter(pmod(col("doc_id"), lit(4)) === 0).count())
+  }
+
   test("dedup: injected near-dup embeddings found via content blocking") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val pairs = Dedup.embeddingNearDup(emb, minCos = 0.8).cache()
