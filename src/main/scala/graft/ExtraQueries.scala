@@ -43,7 +43,7 @@ object ExtraQueries {
     * is a rows-only check; the invariants are pinned by PipelineSpec.
     */
   private def lineageRun(s: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_lineage_").toString
+    val out = graft.spark.TmpDirs.create("graft_lineage_")
     val transcripts = Transcripts.fromDocuments(s, dir)
     Lineage.run(s, transcripts, out, numBuckets = 8, maxBucketsThisRun = 3)
     Lineage.run(s, transcripts, out, numBuckets = 8) // resume: remaining 5
@@ -58,7 +58,7 @@ object ExtraQueries {
     * SQL-expressible -> full oracle for the streaming path.
     */
   private def streamingExtract(s: SparkSession, dir: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft_stream_").toString
+    val base = graft.spark.TmpDirs.create("graft_stream_")
     val in = s"$base/in"; val out = s"$base/out"; val cp = s"$base/cp"
     Transcripts.fromDocuments(s, dir).write.mode("overwrite").parquet(in)
     StreamPipeline.runAvailableNow(s, in, out, cp)

@@ -221,7 +221,7 @@ object SparkEntry {
     // recording attempts/delivered/backoff per row via
     // Delivery.postbackOutcome (ocr_postback_client.go:27-78).
     "o20_postback_sink" -> ((s, dir) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_postback_").toString
+      val base = graft.spark.TmpDirs.create("graft_postback_")
       Transcripts.fromDocuments(s, dir).write.mode("overwrite").parquet(s"$base/in")
       graft.streaming.StreamPipeline.runPostbackSink(
         s, s"$base/in", s"$base/delivery", s"$base/cp")

@@ -232,19 +232,22 @@ object TrainingQueries {
     },
 
     "dedup_embedding" -> {
-      // content-derived LSH bands over the double[64] emb — same plane
-      // signs and 4-bands-of-2 split as Dedup.nearDupBandValue
-      def duckPlaneDotD(j: Int): String =
-        s"""list_sum(list_transform(range(1, 65),
-           |  n -> emb[n] * (CASE WHEN (n * ${j + 3}) % 7 <= 3 THEN 1.0 ELSE -1.0 END)))""".stripMargin
-      val bandCols = (0 until graft.operators.Dedup.nearDupBands).map { b =>
-        val bits = (0 until graft.operators.Dedup.nearDupPlanesPerBand).map { r =>
-          s"(CASE WHEN (${duckPlaneDotD(b * graft.operators.Dedup.nearDupPlanesPerBand + r)}) > 0 THEN ${1 << r} ELSE 0 END)"
+      // content-derived LSH bands over the double[64] emb — the constant
+      // ±1 sign matrix from Dedup.nearDupSign inlined as literal lists
+      import graft.operators.Dedup.{nearDupBands, nearDupPlanesPerBand, nearDupSign}
+      def duckPlaneDotD(j: Int): String = {
+        val signs = (1 to 64).map(n => nearDupSign(j, n)).mkString("[", ", ", "]")
+        s"list_sum(list_transform(range(1, 65), n -> emb[n] * ($signs)[n]))"
+      }
+      val bandCols = (0 until nearDupBands).map { b =>
+        val bits = (0 until nearDupPlanesPerBand).map { r =>
+          s"(CASE WHEN (${duckPlaneDotD(b * nearDupPlanesPerBand + r)}) > 0 THEN ${1 << r} ELSE 0 END)"
         }.mkString(" + ")
         s"CAST($bits AS INTEGER) AS band$b"
       }.mkString(",\n  ")
-      val anyBand = (0 until graft.operators.Dedup.nearDupBands)
+      val anyBand = (0 until nearDupBands)
         .map(b => s"a.band$b = b.band$b").mkString(" OR ")
+      val dot = "list_sum(list_transform(range(1, 65), n -> a.emb[n] * b.emb[n]))"
       s"""WITH base AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
          |  UNION ALL
@@ -253,11 +256,13 @@ object TrainingQueries {
          |      i -> CASE WHEN i = 1 THEN CAST(embedding[i] AS DOUBLE) + 0.5
          |                ELSE CAST(embedding[i] AS DOUBLE) END) AS emb
          |  FROM embeddings),
-         |k AS (SELECT vec_id, emb, $bandCols FROM base)
+         |k AS (SELECT vec_id, emb,
+         |  list_sum(list_transform(range(1, 65), n -> emb[n] * emb[n])) AS na,
+         |  $bandCols FROM base)
          |SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id,
-         |  round(${duckCosine("a.emb", "b.emb")}, 6) AS cos
+         |  round($dot / sqrt(a.na * b.na), 6) AS cos
          |FROM k a JOIN k b ON ($anyBand) AND b.vec_id > a.vec_id
-         |WHERE round(${duckCosine("a.emb", "b.emb")}, 6) >= 0.8
+         |WHERE round($dot / sqrt(a.na * b.na), 6) >= 0.8
          |ORDER BY a_id, b_id""".stripMargin
     },
 

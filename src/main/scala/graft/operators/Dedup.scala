@@ -202,27 +202,40 @@ object Dedup {
   }
 
   /** Random-hyperplane LSH banding computed from the CONTENT of the `emb`
-    * double[64] column (same deterministic sign pattern as
-    * [[Similarity.lshBuckets]], so the DuckDB twin is exact): 8 planes split
-    * into 4 bands of 2; a candidate pair is any two vectors agreeing on ALL
-    * planes of AT LEAST ONE band (OR-of-bands, the same banded-LSH shape as
-    * [[minhashBands]]). A single 8-plane bucket has poor recall for genuine
-    * near-dups (any one near-zero plane flips the whole key — measured 25%
-    * twin recall on the test corpus); 4 bands of 2 recover >90% while
-    * keeping the pairing an equi-join on the exploded (band_idx, band_val)
-    * key. Blocking is id-blind: unrelated ids pair whenever their
-    * signatures agree.
+    * double[64] column: [[nearDupBands]] independent bands of
+    * [[nearDupPlanesPerBand]] hyperplanes; a candidate pair is any two
+    * vectors agreeing on ALL planes of AT LEAST ONE band (OR-of-bands, the
+    * same banded-LSH shape as [[minhashBands]]). Band width sets
+    * SELECTIVITY (8 planes = 256 bucket values, so in-bucket cross products
+    * stay tiny), band count sets RECALL (one near-zero plane dot flips a
+    * band; 12 independent chances recover >90% of the injected twins —
+    * measured: a single 8-plane bucket gets 25%, and 2-plane bands have
+    * only 4 bucket values whose cross products blow up the join).
+    *
+    * The ±1 sign matrix is a CONSTANT: generated by a splitmix64-style
+    * mixer in [[nearDupSign]] and inlined as literals into both the Spark
+    * plan and the DuckDB oracle — the generator needs no SQL form, only
+    * its output does. (The earlier `(n*(j+3)) % 7` arithmetic family has
+    * period 7, so planes beyond the 7th were duplicates.)
     */
-  val nearDupPlanes = 8
-  val nearDupBands = 4
-  val nearDupPlanesPerBand = 2
+  val nearDupBands = 12
+  val nearDupPlanesPerBand = 8
 
-  private def planeDotD(j: Int): Column =
-    expr(
-      s"""aggregate(transform(sequence(1, 64),
-         |  n -> element_at(emb, n) *
-         |       (CASE WHEN (n * (${j + 3})) % 7 <= 3 THEN 1D ELSE -1D END)),
-         |  0D, (acc, v) -> acc + v)""".stripMargin)
+  /** Constant sign (+1/-1) of plane `j`, dimension `n` (1-based). */
+  def nearDupSign(j: Int, n: Int): Int = {
+    var z = j.toLong * 0x9E3779B97F4A7C15L + n.toLong * 0xBF58476D1CE4E5B9L +
+      0x94D049BB133111EBL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^= z >>> 31
+    if ((z & 1L) == 0L) 1 else -1
+  }
+
+  private def planeDotD(j: Int): Column = {
+    val signs = (1 to 64).map(n => nearDupSign(j, n).toDouble)
+    aggregate(zip_with(col("emb"), typedlit(signs), (x, s) => x * s),
+      lit(0d), (acc, v) => acc + v)
+  }
 
   /** Value of LSH band `b` (an int in [0, 2^planesPerBand)). */
   def nearDupBandValue(b: Int): Column =
@@ -236,14 +249,22 @@ object Dedup {
     * pairing is ONE equi-join on the exploded (band_idx, band_val) key —
     * the shape that holds at 100 TB (candidate comparisons drop to
     * within-band, AQE handles hot buckets), with `distinct` collapsing
-    * pairs that agree on several bands.
+    * pairs that agree on several bands. Squared norms are computed ONCE per
+    * row before the join (same float value and op order as the inline
+    * form), so per-candidate work is one 64-dim dot product.
     */
   def nearDupPairs(base: DataFrame, minCos: Double): DataFrame = {
     val bands = array((0 until nearDupBands).map(nearDupBandValue): _*)
-    val k = base.select(col("vec_id"), col("emb"),
-      posexplode(bands).as(Seq("band_idx", "band_val")))
+    val k = base
+      .withColumn("na",
+        aggregate(transform(col("emb"), x => x * x), lit(0d), (acc, v) => acc + v))
+      .select(col("vec_id"), col("emb"), col("na"),
+        posexplode(bands).as(Seq("band_idx", "band_val")))
     val a = k.as("a")
     val b = k.as("b")
+    val dot = aggregate(
+      zip_with(col("a.emb"), col("b.emb"), (x, y) => x * y),
+      lit(0d), (acc, v) => acc + v)
     a.join(b,
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&
@@ -251,7 +272,7 @@ object Dedup {
       .select(
         col("a.vec_id").as("a_id"),
         col("b.vec_id").as("b_id"),
-        round(cosineExpr("a.emb", "b.emb"), 6).as("cos"))
+        round(dot / sqrt(col("a.na") * col("b.na")), 6).as("cos"))
       .filter(col("cos") >= minCos)
       .distinct()
   }

@@ -45,7 +45,7 @@ object Events {
     * encodes exactly that contract.
     */
   def runWindowedStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft_events_").toString
+    val base = graft.spark.TmpDirs.create("graft_events_")
     val in = s"$base/in"; val out = s"$base/out"; val cp = s"$base/cp"
     events(spark, sfDir).write.mode("overwrite").parquet(in)
     val stream = spark.readStream.schema(eventSchema).parquet(in)
