@@ -77,12 +77,24 @@ object ExtractPipeline {
     *     instead of a full-corpus shuffle write+read. Output is identical
     *     (pinned by spec) — partitioning never changes per-turn results.
     */
+  /** O14 with an actual SCHEDULING effect (the reference publishes each
+    * message with a priority 0-9 onto an `x-max-priority` queue so
+    * high-priority documents are decoded first — `ocr_rpc_client.go:74-85,
+    * 294-340`): when `priorityOrdered` is true, rows are sorted within each
+    * post-shuffle partition by descending doc_type priority before the
+    * kernel runs, so high-priority work completes first inside every task.
+    * NO extra shuffle — `sortWithinPartitions` sorts the existing
+    * distribution in place (plan-tested: still exactly one Exchange).
+    * Cross-job preemption (the other half of queue priority) maps to Spark
+    * FAIR scheduler pools at submission time, not to the plan.
+    */
   def extract(
       spark: SparkSession,
       transcripts: DataFrame,
       numPartitions: Int = 0,
       config: Engines.CoreConfig = Engines.CoreConfig(),
-      distribution: String = "salted"
+      distribution: String = "salted",
+      priorityOrdered: Boolean = false
   ): Dataset[Extracted] = {
     import spark.implicits._
     val parts =
@@ -102,7 +114,15 @@ object ExtractPipeline {
       case _ =>
         base.repartition(parts, saltColumn()) // O16: the only shuffle
     }
-    prepared
+    val ordered =
+      if (!priorityOrdered) prepared
+      else {
+        val prio = graft.functions.GraftFunctions.priorityFor(
+          coalesce(get_json_object(col("tool"), "$.doc_type"), lit("")),
+          config.prioMap)
+        prepared.sortWithinPartitions(prio.desc)
+      }
+    ordered
       .as[TurnLite]
       .mapPartitions { rows =>
         // one fused iterator: deserialize once, run chain+engine, serialize

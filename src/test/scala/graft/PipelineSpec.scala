@@ -186,6 +186,37 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(heavyPids > 1, "per-row salt must spread one conversation's heavy rows")
   }
 
+  test("priority: high-priority rows run first within each partition, no extra shuffle") {
+    import spark.implicits._
+    import graft.core.Engines
+    val rows = (0 until 200).map { i =>
+      val dt = if (i % 3 == 0) "egov" else "standard"
+      (s"conv-${i % 10}", i, "payload text", s"""{"engine":"mock","doc_type":"$dt"}""")
+    }
+    val df = rows.toDF("conv_id", "turn_idx", "text", "tool")
+    val cfg = Engines.CoreConfig(prioMap = Map("standard" -> 1, "egov" -> 9))
+    val ds = ExtractPipeline.extract(spark, df, numPartitions = 4, config = cfg,
+      priorityOrdered = true)
+    // encounter order within each task: monotonically_increasing_id is
+    // assigned in iteration order inside the same narrow stage, so every
+    // egov (prio 9) row must appear before every standard (prio 1) row
+    // within its partition
+    val observed = ds
+      .withColumn("pid", expr("spark_partition_id()"))
+      .withColumn("pos", monotonically_increasing_id())
+      .withColumn("prio", when(pmod(col("turn_idx"), lit(3)) === 0, 9).otherwise(1))
+      .groupBy("pid")
+      .agg(max(when(col("prio") === 9, col("pos"))).as("last_high"),
+        min(when(col("prio") === 1, col("pos"))).as("first_low"))
+      .filter(col("last_high").isNotNull && col("first_low").isNotNull)
+    assert(observed.filter(col("last_high") > col("first_low")).count() == 0,
+      "a standard-priority row ran before an egov row in some partition")
+    // the priority sort adds NO shuffle: still exactly one Exchange
+    val plan = ds.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllMatchIn(plan).length == 1, s"plan:\n$plan")
+    assert(plan.contains("Sort"), s"expected an in-partition Sort in:\n$plan")
+  }
+
   test("distribution: heavy-only (no full shuffle) equals the salted pipeline") {
     val t = Transcripts.fromDocuments(spark, sfDir)
     def rows(mode: String) =
