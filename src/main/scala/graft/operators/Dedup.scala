@@ -175,15 +175,16 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Embedding-cosine near-dup pairs over a candidate window. The cosine is
-    * written out explicitly (sequential double sums) so the DuckDB twin
-    * computes bit-identical values.
+  /** Cosine between two float/double[64] array columns — dot products run
+    * through the native codegen'd [[graft.spark.VecDot]] expression, which
+    * preserves the exact sequential float-summation order of the
+    * `aggregate(zip_with(...))` form, so the DuckDB twins stay
+    * bit-identical while the per-candidate hot loop is a primitive loop
+    * instead of interpreted per-element lambdas.
     */
-  def cosineExpr(a: String, b: String): Column = {
-    val dot = s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
-    val na = s"aggregate(transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v)"
-    val nb = s"aggregate(transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v)"
-    expr(s"$dot / sqrt(($na) * ($nb))")
+  def cosineExpr(a: Column, b: Column): Column = {
+    import graft.spark.VectorFunctions.vecDot
+    vecDot(a, b) / sqrt(vecDot(a, a) * vecDot(b, b))
   }
 
   /** Embeddings plus injected near-dups: every vector gets a copy (vec_id +
@@ -233,8 +234,7 @@ object Dedup {
 
   private def planeDotD(j: Int): Column = {
     val signs = (1 to 64).map(n => nearDupSign(j, n).toDouble)
-    aggregate(zip_with(col("emb"), typedlit(signs), (x, s) => x * s),
-      lit(0d), (acc, v) => acc + v)
+    graft.spark.VectorFunctions.vecDot(col("emb"), typedlit(signs))
   }
 
   /** Value of LSH band `b` (an int in [0, 2^planesPerBand)). */
@@ -254,17 +254,15 @@ object Dedup {
     * form), so per-candidate work is one 64-dim dot product.
     */
   def nearDupPairs(base: DataFrame, minCos: Double): DataFrame = {
+    import graft.spark.VectorFunctions.vecDot
     val bands = array((0 until nearDupBands).map(nearDupBandValue): _*)
     val k = base
-      .withColumn("na",
-        aggregate(transform(col("emb"), x => x * x), lit(0d), (acc, v) => acc + v))
+      .withColumn("na", vecDot(col("emb"), col("emb")))
       .select(col("vec_id"), col("emb"), col("na"),
         posexplode(bands).as(Seq("band_idx", "band_val")))
     val a = k.as("a")
     val b = k.as("b")
-    val dot = aggregate(
-      zip_with(col("a.emb"), col("b.emb"), (x, y) => x * y),
-      lit(0d), (acc, v) => acc + v)
+    val dot = vecDot(col("a.emb"), col("b.emb"))
     a.join(b,
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&

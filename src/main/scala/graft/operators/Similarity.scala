@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -24,20 +24,19 @@ object Similarity {
   val dims = 64
   val planes = 8
 
-  /** Plane-j dot product as a Catalyst expression (sequential double sum —
-    * same order as the DuckDB twin).
+  /** Plane-j dot product via the native [[graft.spark.VecDot]] expression
+    * (same sequential double-sum order as the DuckDB twin); the ±1 signs of
+    * the `(n*(j+3)) % 7` family are materialized as a literal array.
     */
-  private def planeDot(j: Int): String = {
-    s"""aggregate(transform(sequence(1, $dims),
-       |  n -> CAST(element_at(embedding, n) AS DOUBLE) *
-       |       (CASE WHEN (n * (${j + 3})) % 7 <= 3 THEN 1D ELSE -1D END)),
-       |  0D, (acc, v) -> acc + v)""".stripMargin
+  private def planeDot(j: Int): Column = {
+    val signs = (1 to dims).map(n => if ((n * (j + 3)) % 7 <= 3) 1d else -1d)
+    graft.spark.VectorFunctions.vecDot(col("embedding"), typedlit(signs))
   }
 
   /** Assign every vector to its LSH bucket (bit j = plane-j dot > 0). */
   def lshBuckets(emb: DataFrame): DataFrame = {
     val bits = (0 until planes).map { j =>
-      when(expr(planeDot(j)) > 0D, 1 << j).otherwise(0)
+      when(planeDot(j) > 0d, 1 << j).otherwise(0)
     }
     emb.select(col("vec_id"), col("embedding"),
       bits.reduce(_ + _).cast("int").as("bucket"))
@@ -50,7 +49,7 @@ object Similarity {
     val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
     val scored = q.join(broadcast(c), col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(Dedup.cosineExpr("qe", "ce"), 6).as("cos"))
+        round(Dedup.cosineExpr(col("qe"), col("ce")), 6).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -86,18 +85,15 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
+    import graft.spark.VectorFunctions.vecDot
     val withNa = emb
-      .select(col("vec_id"), col("embedding"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb_d"))
-      .withColumn("na",
-        aggregate(transform(col("emb_d"), x => x * x), lit(0d), (acc, v) => acc + v))
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("na", vecDot(col("embedding"), col("embedding")))
     // per-cell cosine, same op order as Dedup.cosineExpr / the DuckDB twin:
     // round(dot / sqrt(na * nb), 6); nb folds sequentially like `aggregate`
     val scores = cents.map { case (_, ce) =>
       val nb = ce.foldLeft(0d)((acc, x) => acc + x * x)
-      val dot = aggregate(
-        zip_with(col("emb_d"), typedlit(ce.toSeq), (x, y) => x * y),
-        lit(0d), (acc, v) => acc + v)
+      val dot = vecDot(col("embedding"), typedlit(ce.toSeq))
       round(dot / sqrt(col("na") * lit(nb)), 6)
     }
     val ids = typedlit(cents.map(_._1).toSeq)
@@ -119,7 +115,7 @@ object Similarity {
     val scored = q.join(c, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(Dedup.cosineExpr("qe", "ce"), 6).as("cos"))
+        round(Dedup.cosineExpr(col("qe"), col("ce")), 6).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -140,7 +136,7 @@ object Similarity {
     val scored = q.join(c, Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(Dedup.cosineExpr("qe", "ce"), 6).as("cos"))
+        round(Dedup.cosineExpr(col("qe"), col("ce")), 6).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -105,7 +105,16 @@ object GraftExtensions {
     }
   )
 
-  val functions = Seq(fn("extract_text", "text"), fn("extract_status", "status"))
+  private val vecDotFn = (
+    FunctionIdentifier("vec_dot"),
+    new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "vec_dot(a, b) takes 2 arguments")
+      VecDot(children(0), children(1))
+    }
+  )
+
+  val functions = Seq(fn("extract_text", "text"), fn("extract_status", "status"), vecDotFn)
 
   /** Imperative registration on an already-built session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

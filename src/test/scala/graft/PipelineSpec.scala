@@ -264,6 +264,28 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.count() == doc.filter(pmod(col("doc_id"), lit(4)) === 0).count())
   }
 
+  test("vec_dot: native expression is bit-identical to the aggregate/zip_with form") {
+    import graft.spark.VectorFunctions.vecDot
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(100)
+    // float arrays widen per element exactly like CAST(x AS DOUBLE) in the
+    // lambda, and the loop sums left-to-right like aggregate's fold
+    val hof = expr(
+      "aggregate(zip_with(embedding, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
+    val diff = emb.select(
+      vecDot(col("embedding"), col("embedding")).as("native"), hof.as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(diff.count() == 0, "native dot diverged from the HOF fold")
+    // participates in whole-stage codegen (no UDF/interpreted fallback)
+    val plan = emb.select(vecDot(col("embedding"), col("embedding")).as("d"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"no codegen stage in:\n$plan")
+    // and the SQL surface exposes it
+    graft.spark.GraftExtensions.register(spark)
+    val viaSql = spark.sql("SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .collect()(0).getDouble(0)
+    assert(viaSql == 11.0)
+  }
+
   test("dedup: simhash pairs find every injected exact-dup at hamming 0") {
     val doc = Transcripts.documents(spark, sfDir)
     val exact = Dedup.simhashPairs(doc)
