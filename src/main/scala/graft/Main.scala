@@ -66,12 +66,16 @@ object Main {
     val pending = Lineage.pendingBuckets(spark, output, buckets)
     if (pending.isEmpty) {
       // all buckets committed: publish the aggregated metrics table (O22)
-      Lineage.readOutput(spark, output)
-        .groupBy(col("status"), col("engine"))
+      val out = Lineage.readOutput(spark, output)
+      out.groupBy(col("status"), col("engine"))
         .agg(count(lit(1)).as("n_rows"),
           sum(col("n_chars_in")).cast("long").as("chars_in"),
           sum(col("n_chars_out")).cast("long").as("chars_out"))
         .write.mode("overwrite").parquet(s"$output/_metrics")
+      // + the latency/request-size histogram table (prometheus bucket layout)
+      import spark.implicits._
+      ExtractPipeline.histograms(out.as[ExtractPipeline.Extracted])
+        .write.mode("overwrite").parquet(s"$output/_histograms")
     }
     val done = lineage.agg(
       count(lit(1)).as("buckets"),

@@ -91,6 +91,29 @@ object CoreProperties extends Properties("core") {
       }
     }
 
+  private val hostGen: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString.take(12))
+
+  property("url policy: validation accepts exactly http/https") =
+    forAll(Gen.oneOf("http", "https", "ftp", "file", "mailto", ""), hostGen) { (scheme, host) =>
+      val url = if (scheme.isEmpty) host else s"$scheme://$host/x"
+      Urls.checkUrlForReplyTo(url).isRight == (scheme == "http" || scheme == "https")
+    }
+
+  property("url policy: stripPassword removes the password and only the password") =
+    forAll(hostGen, hostGen, hostGen.suchThat(_.nonEmpty)) { (user, host, pass) =>
+      val url = s"https://$user:$pass@$host/path"
+      val stripped = Urls.stripPassword(url)
+      stripped == s"https://$user:***@$host/path"
+    }
+
+  property("url policy: stripPassword is identity without userinfo password") =
+    forAll(hostGen, hostGen) { (user, host) =>
+      Urls.stripPassword(s"https://$host/x") == s"https://$host/x" &&
+      Urls.stripPassword(s"https://$user@$host/x") == s"https://$user@$host/x" &&
+      Urls.stripPassword(host) == host
+    }
+
   property("timeout clamp is idempotent and lands in (0, default]") =
     forAll(Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2)) { t =>
       val c = Extractor.clampTimeout(t)
