@@ -100,6 +100,32 @@ object TrainingQueries {
       Similarity.ivfTopK(s.read.parquet(s"$dir/embeddings.parquet"))
         .orderBy("query_id", "rank")),
 
+    // Composed end-to-end training-data pipeline over the dup-injected
+    // corpus: exact dedup (keep smallest id per content hash) -> quality
+    // filter (uniq-token ratio, length) -> language ID -> per-language
+    // corpus stats. Plan shape: one hash-shuffle for the dedup groupBy,
+    // one equi-join back for survivor payloads, one partial-agg groupBy —
+    // every stage is the 100 TB shape of its standalone operator.
+    "training_pipeline_e2e" -> ((s, dir) => {
+      val base = Dedup.withInjectedDups(Transcripts.documents(s, dir))
+      val keepers = base
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val t = TextAnalysis.tokens(col("text"))
+      base.join(keepers, Seq("doc_id"))
+        .withColumn("n_tokens", size(t).cast("int"))
+        .withColumn("uniq_ratio",
+          size(array_distinct(t)).cast("double") / size(t).cast("double"))
+        .withColumn("predicted", TextAnalysis.langPredicted)
+        .filter(col("uniq_ratio") >= 0.45 && col("n_tokens") >= 30)
+        .groupBy("predicted")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"),
+          sum(length(col("text"))).cast("long").as("total_chars"))
+        .orderBy("predicted")
+    }),
+
     "multimodal_meta" -> ((s, dir) => {
       val media = Multimodal.mediaTable(s, Transcripts.documents(s, dir))
       Multimodal.decodeMeta(s, media).toDF().orderBy("doc_id")
@@ -336,6 +362,37 @@ object TrainingQueries {
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM s)
          |SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id, cos
          |FROM r WHERE rn <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "training_pipeline_e2e" -> {
+      val counts = TextAnalysis.langStopwords.map { case (lang, words) =>
+        val inList = words.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(string_split(text, ' '), x -> x IN ($inList))) AS c_$lang"
+      }.mkString(",\n    ")
+      s"""WITH base AS $duckDupBase,
+         |k AS (SELECT md5(text) AS h, min(doc_id) AS doc_id FROM base GROUP BY 1),
+         |j AS (SELECT b.doc_id, b.text FROM base b JOIN k ON b.doc_id = k.doc_id),
+         |s AS (
+         |  SELECT doc_id, text,
+         |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         |    len(list_distinct(string_split(text, ' '))) * 1.0
+         |      / len(string_split(text, ' ')) AS uniq_ratio,
+         |    $counts
+         |  FROM j),
+         |p AS (
+         |  SELECT *,
+         |    CASE
+         |      WHEN c_en = 0 AND c_de = 0 AND c_es = 0 AND c_fr = 0 THEN 'und'
+         |      WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+         |      WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
+         |      WHEN c_es >= c_fr THEN 'es'
+         |      ELSE 'fr' END AS predicted
+         |  FROM s)
+         |SELECT predicted, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(sum(length(text)) AS BIGINT) AS total_chars
+         |FROM p WHERE uniq_ratio >= 0.45 AND n_tokens >= 30
+         |GROUP BY 1 ORDER BY predicted""".stripMargin
+    },
 
     "multimodal_meta" ->
       """SELECT doc_id,

@@ -56,26 +56,34 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "los", "y", "es"),
     "fr" -> Seq("le", "les", "et", "des", "un"))
 
+  /** Per-language stopword-hit scores over the `text` column — exposed so
+    * composed pipelines can reuse the predictor inline.
+    */
+  def langScores: Seq[(String, Column)] = langStopwords.map { case (lang, words) =>
+    val inList = words.map(w => s"'$w'").mkString(", ")
+    lang -> expr(s"size(filter(split(text, ' '), x -> x IN ($inList)))").cast("int")
+  }
+
+  /** Winner-take-first language prediction (ties to [[langStopwords]]
+    * order; all-zero -> "und") as a reusable Column over `text`.
+    */
+  def langPredicted: Column = {
+    val Seq(en, de, es, fr) = langScores.map(_._2)
+    when(en === 0 && de === 0 && es === 0 && fr === 0, "und")
+      .when(en >= de && en >= es && en >= fr, "en")
+      .when(de >= es && de >= fr, "de")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+  }
+
   /** Language-ID: count stopword hits per language; winner is the first
     * language (in [[langStopwords]] order) with the maximal score; all-zero
     * -> "und".
     */
-  def langId(doc: DataFrame): DataFrame = {
-    val scores = langStopwords.map { case (lang, words) =>
-      val inList = words.map(w => s"'$w'").mkString(", ")
-      lang -> expr(s"size(filter(split(text, ' '), x -> x IN ($inList)))").cast("int")
-    }
-    val Seq(en, de, es, fr) = scores.map(_._2)
-    val predicted =
-      when(en === 0 && de === 0 && es === 0 && fr === 0, "und")
-        .when(en >= de && en >= es && en >= fr, "en")
-        .when(de >= es && de >= fr, "de")
-        .when(es >= fr, "es")
-        .otherwise("fr")
+  def langId(doc: DataFrame): DataFrame =
     doc.select(
-      (col("doc_id") +: scores.map { case (l, c) => c.as(s"c_$l") } :+
-        predicted.as("predicted")): _*)
-  }
+      (col("doc_id") +: langScores.map { case (l, c) => c.as(s"c_$l") } :+
+        langPredicted.as("predicted")): _*)
 
   /** Polynomial rolling hash (Karp-Rabin form): h = (h*31 + code) mod 2^31-1
     * over the character codes — pure integer Catalyst expression, so the
