@@ -81,34 +81,24 @@ object Dedup {
   val minhashBandCount = 4
   val minhashRowsPerBand = 4
 
-  /** MinHash value k over the pre-hashed `hcat` column (one 128-hex string
-    * per shingle = 4 concatenated md5 digests): word k is hex digits
-    * [8k+1, 8k+8], decoded via `conv` (DuckDB twin:
-    * `CAST('0x' || substr(s, 8k+1, 8) AS BIGINT)`).
-    */
-  private def minhashK(k: Int): String =
-    s"""array_min(transform(hcat,
-       |  s -> CAST(conv(substring(s, ${8 * k + 1}, 8), 16, 10) AS BIGINT)))""".stripMargin
-
   /** MinHash signature: [[minhashHashes]] hashes -> [[minhashBandCount]]
-    * band keys (md5 over the '_'-joined band rows).
+    * band keys (md5 over the '_'-joined band rows). The 16 hash values come
+    * from the native one-pass [[graft.spark.MinHash16]] expression
+    * (bit-identical to the `conv(substring(md5-concat...))` SQL form the
+    * DuckDB twin still uses — pinned by a parity spec + the oracle
+    * hash-compare).
     */
   def minhashSignature(doc: DataFrame): DataFrame = {
-    val withHcat = doc
+    val withMh = doc
       .filter(size(split(col("text"), " ")) >= 3)
-      .select(col("doc_id"), shingles(col("text")).as("grams"))
-      .select(col("doc_id"), expr(
-        """transform(grams, g -> concat(
-          |  md5(concat('0:', g)), md5(concat('1:', g)),
-          |  md5(concat('2:', g)), md5(concat('3:', g))))""".stripMargin).as("hcat"))
-    val ms = (0 until minhashHashes).map(k => expr(minhashK(k)).as(s"m$k"))
-    val withM = withHcat.select((col("doc_id") +: ms): _*)
+      .select(col("doc_id"),
+        graft.spark.HashFunctions.minHash16(shingles(col("text"))).as("mh"))
     val bandCols = (0 until minhashBandCount).map { b =>
       val rows = (0 until minhashRowsPerBand)
-        .map(r => col(s"m${b * minhashRowsPerBand + r}").cast("string"))
+        .map(r => element_at(col("mh"), b * minhashRowsPerBand + r + 1).cast("string"))
       md5(concat_ws("_", rows: _*)).as(s"band$b")
     }
-    withM.select((col("doc_id") +: bandCols): _*)
+    withMh.select((col("doc_id") +: bandCols): _*)
   }
 
   /** LSH candidate pairs: docs sharing any band bucket. ONE shuffle total:

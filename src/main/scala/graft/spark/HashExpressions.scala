@@ -1,0 +1,94 @@
+package graft.spark
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Static kernel the generated (whole-stage codegen) Java calls into. */
+object MinHashKernel {
+
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private val salts: Array[Array[Byte]] =
+    Array("0:", "1:", "2:", "3:").map(_.getBytes("UTF-8"))
+
+  /** All 16 MinHash values of a shingle array in ONE pass: per shingle,
+    * FOUR salted md5 digests are computed and each 128-bit digest is split
+    * into four big-endian unsigned 32-bit words — hash k is the running
+    * minimum of word k%4 of digest k/4. Bit-identical to the SQL form
+    * `CAST(conv(substring(concat(md5('0:'||g), md5('1:'||g), md5('2:'||g),
+    * md5('3:'||g)), 8k+1, 8), 16, 10) AS BIGINT)` aggregated with
+    * `array_min` (hex digit [8k, 8k+8) IS digest byte [4k, 4k+4)), and to
+    * the DuckDB oracle twin. Empty input yields Long.MaxValue mins
+    * (unreachable in practice: signatures are built on >=3-token docs,
+    * which always produce >=1 shingle).
+    */
+  def minhash16(grams: ArrayData): ArrayData = {
+    val mins = Array.fill(16)(Long.MaxValue)
+    val digestFn = md5.get()
+    var i = 0
+    val n = grams.numElements()
+    while (i < n) {
+      val g = grams.getUTF8String(i).getBytes
+      var d = 0
+      while (d < 4) {
+        digestFn.reset()
+        digestFn.update(salts(d))
+        digestFn.update(g)
+        val digest = digestFn.digest()
+        var w = 0
+        while (w < 4) {
+          val b = 4 * w
+          val v = ((digest(b) & 0xffL) << 24) | ((digest(b + 1) & 0xffL) << 16) |
+            ((digest(b + 2) & 0xffL) << 8) | (digest(b + 3) & 0xffL)
+          val k = d * 4 + w
+          if (v < mins(k)) mins(k) = v
+          w += 1
+        }
+        d += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+}
+
+/** Native codegen'd MinHash signature: the 16 keyed 32-bit hashes of
+  * [[graft.operators.Dedup.minhashSignature]] in one primitive pass over
+  * the shingle array, replacing four md5-building `transform`s plus sixteen
+  * interpreted `array_min(transform(substring...))` traversals per row.
+  * Same "(b) custom Catalyst Expression" tier as [[ExtractTurnField]] /
+  * [[VecDot]]; values are bit-identical to the HOF/DuckDB form (pinned by a
+  * parity spec and the oracle hash-compare).
+  */
+case class MinHash16(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash16 expects array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(g: Any): Any =
+    MinHashKernel.minhash16(g.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.MinHashKernel.minhash16($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** DataFrame-DSL access. */
+object HashFunctions {
+  def minHash16(grams: Column): Column =
+    GraftColumnBridge.column(MinHash16(GraftColumnBridge.expression(grams)))
+}

@@ -286,6 +286,25 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaSql == 11.0)
   }
 
+  test("minhash16: native signature is bit-identical to the md5-SQL form") {
+    import graft.spark.HashFunctions.minHash16
+    val doc = Transcripts.documents(spark, sfDir).limit(50)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("grams"))
+      .withColumn("hcat", expr(
+        """transform(grams, g -> concat(
+          |  md5(concat('0:', g)), md5(concat('1:', g)),
+          |  md5(concat('2:', g)), md5(concat('3:', g))))""".stripMargin))
+    val checks = (0 until 16).map { k =>
+      val sqlForm = expr(
+        s"array_min(transform(hcat, s -> CAST(conv(substring(s, ${8 * k + 1}, 8), 16, 10) AS BIGINT)))")
+      when(element_at(minHash16(col("grams")), k + 1) =!= sqlForm, 1).otherwise(0)
+    }
+    val mismatches = doc.select(checks.reduce(_ + _).as("mm"))
+      .agg(sum("mm")).collect()(0).getLong(0)
+    assert(mismatches == 0, "native minhash16 diverged from the md5-SQL form")
+  }
+
   test("dedup: simhash pairs find every injected exact-dup at hamming 0") {
     val doc = Transcripts.documents(spark, sfDir)
     val exact = Dedup.simhashPairs(doc)
