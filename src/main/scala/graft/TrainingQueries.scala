@@ -67,6 +67,9 @@ object TrainingQueries {
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashBands(Transcripts.documents(s, dir)).orderBy("a_id", "b_id")),
 
+    "dedup_minhash_verify" -> ((s, dir) =>
+      Dedup.minhashJaccard(Transcripts.documents(s, dir)).orderBy("a_id", "b_id")),
+
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(Transcripts.documents(s, dir)).orderBy("doc_id")),
 
@@ -223,6 +226,39 @@ object TrainingQueries {
          |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          |FROM sig a JOIN sig b
          |  ON ($anyBand) AND a.doc_id < b.doc_id
+         |ORDER BY a_id, b_id""".stripMargin
+    },
+
+    "dedup_minhash_verify" -> {
+      import graft.operators.Dedup.{minhashBandCount, minhashRowsPerBand}
+      val bandExprs = (0 until minhashBandCount).map { b =>
+        val rows = (0 until minhashRowsPerBand)
+          .map(r => duckMinhash(b * minhashRowsPerBand + r))
+          .mkString(" || '_' || ")
+        s"md5($rows) AS band$b"
+      }.mkString(",\n  ")
+      val anyBand = (0 until minhashBandCount)
+        .map(b => s"a.band$b = b.band$b").mkString(" OR ")
+      s"""WITH base AS $duckDupBase,
+         |g AS (
+         |  SELECT doc_id, $duckShingles AS grams
+         |  FROM base WHERE len(string_split(text, ' ')) >= 3),
+         |h AS (SELECT doc_id, grams, $duckHcat AS hcat FROM g),
+         |sig AS (
+         |  SELECT doc_id, grams,
+         |  $bandExprs
+         |  FROM h),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    a.grams AS a_grams, b.grams AS b_grams
+         |  FROM sig a JOIN sig b ON ($anyBand) AND a.doc_id < b.doc_id)
+         |SELECT a_id, b_id,
+         |  round(len(list_intersect(a_grams, b_grams)) * 1.0 /
+         |        (len(a_grams) + len(b_grams) - len(list_intersect(a_grams, b_grams))), 4)
+         |    AS jaccard
+         |FROM cand
+         |WHERE round(len(list_intersect(a_grams, b_grams)) * 1.0 /
+         |        (len(a_grams) + len(b_grams) - len(list_intersect(a_grams, b_grams))), 4) >= 0.5
          |ORDER BY a_id, b_id""".stripMargin
     },
 

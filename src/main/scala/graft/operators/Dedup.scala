@@ -125,6 +125,29 @@ object Dedup {
       .distinct()
   }
 
+  /** The canonical two-stage MinHash pipeline: candidate pairs from the LSH
+    * bands ([[minhashBands]]) VERIFIED by exact shingle Jaccard — the scale
+    * answer to "n-gram Jaccard can't run all-pairs": the quadratic
+    * comparison only happens inside band buckets, then the exact measure
+    * confirms each candidate. Two equi-joins fetch the shingle sets of the
+    * surviving pair ids; at 100 TB both join a small candidate table
+    * against the signature/shingle store.
+    */
+  def minhashJaccard(doc: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    val pairs = minhashBands(doc)
+    val g = withInjectedDups(doc)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), shingles(col("text")).as("grams"))
+    val inter = size(array_intersect(col("a_grams"), col("b_grams"))).cast("double")
+    val jac = inter /
+      (size(col("a_grams")) + size(col("b_grams")) - inter).cast("double")
+    pairs
+      .join(g.select(col("doc_id").as("a_id"), col("grams").as("a_grams")), Seq("a_id"))
+      .join(g.select(col("doc_id").as("b_id"), col("grams").as("b_grams")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"), round(jac, 4).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** 16-bit SimHash over tokens: bit b set iff the majority of token hashes
     * have bit b set (strict majority; tie -> 0). Token hash = first 4 md5 hex
     * chars as int.
