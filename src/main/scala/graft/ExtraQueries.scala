@@ -82,7 +82,13 @@ object ExtraQueries {
     // analytic-window sessionization (30-min gap) over the events table
     "events_sessionize" -> ((s, dir) =>
       graft.operators.Events.sessionize(graft.operators.Events.events(s, dir))
-        .orderBy("user_id"))
+        .orderBy("user_id")),
+
+    // streaming exact dedup: dropDuplicatesWithinWatermark over a stream
+    // with injected duplicate events — survivors = distinct event_ids
+    "events_stream_dedup" -> ((s, dir) =>
+      graft.operators.Events.runStreamingDedup(s, dir)
+        .orderBy("event_type"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -117,6 +123,12 @@ object ExtraQueries {
         |FROM w, m
         |WHERE h + INTERVAL 70 MINUTE <= m.mx
         |ORDER BY hour_start, event_type""".stripMargin,
+
+    "events_stream_dedup" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT event_id) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "events_sessionize" ->
       """WITH g AS (

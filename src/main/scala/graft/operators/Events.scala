@@ -64,6 +64,37 @@ object Events {
         col("value_cents").cast("long").as("value_cents"))
   }
 
+  /** STREAMING exact dedup: `dropDuplicatesWithinWatermark` on event_id —
+    * the streaming member of the dedup family (state holds one key per
+    * event inside the watermark horizon, exactly the bounded-state shape a
+    * 10^12-event stream needs; at-least-once upstream delivery becomes
+    * exactly-once downstream). Run over the events table with every 5th
+    * event duplicated (deterministic injection), so the operator provably
+    * drops something; per-type surviving counts are SQL-expressible.
+    */
+  def runStreamingDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = graft.spark.TmpDirs.create("graft_sdedup_")
+    val in = s"$base/in"; val out = s"$base/out"; val cp = s"$base/cp"
+    val src = events(spark, sfDir)
+    src.unionByName(src.filter(pmod(col("event_id"), lit(5)) === 0))
+      .write.mode("overwrite").parquet(in)
+    val stream = spark.readStream.schema(eventSchema).parquet(in)
+    val q = stream
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        countDistinct(col("event_id")).cast("long").as("n_distinct"))
+  }
+
   final case class EventLite(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
   final case class SessionState(lastEpochSec: Long, nEvents: Long, nSessions: Long)
   final case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)
