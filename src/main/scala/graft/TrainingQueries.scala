@@ -103,6 +103,10 @@ object TrainingQueries {
       Similarity.ivfTopK(s.read.parquet(s"$dir/embeddings.parquet"))
         .orderBy("query_id", "rank")),
 
+    "ann_ivf_topk_probe2" -> ((s, dir) =>
+      Similarity.ivfTopKProbe2(s.read.parquet(s"$dir/embeddings.parquet"))
+        .orderBy("query_id", "rank")),
+
     // Composed end-to-end training-data pipeline over the dup-injected
     // corpus: exact dedup (keep smallest id per content hash) -> quality
     // filter (uniq-token ratio, length) -> language ID -> per-language
@@ -429,6 +433,29 @@ object TrainingQueries {
          |FROM p WHERE uniq_ratio >= 0.45 AND n_tokens >= 30
          |GROUP BY 1 ORDER BY predicted""".stripMargin
     },
+
+    "ann_ivf_topk_probe2" ->
+      s"""WITH cent AS (
+         |  SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings
+         |  WHERE vec_id < ${Similarity.ivfCells}),
+         |sc AS (
+         |  SELECT e.vec_id, e.embedding, c.centroid_id,
+         |    round(${duckCosine("e.embedding", "c.ce")}, 6) AS ccos
+         |  FROM embeddings e, cent c),
+         |a AS (
+         |  SELECT vec_id, embedding, centroid_id AS cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rn
+         |  FROM sc),
+         |asg AS (SELECT vec_id, embedding, cell FROM a WHERE rn = 1),
+         |probe AS (SELECT vec_id, embedding, cell FROM a WHERE rn <= 2),
+         |s AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(${duckCosine("q.embedding", "c.embedding")}, 6) AS cos
+         |  FROM probe q JOIN asg c ON q.cell = c.cell AND c.vec_id != q.vec_id
+         |  WHERE q.vec_id < 10),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM s)
+         |SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id, cos
+         |FROM r WHERE rn <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id,

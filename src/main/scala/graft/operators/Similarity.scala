@@ -105,6 +105,65 @@ object Similarity {
           .as("cell"))
   }
 
+  /** Top-2 cells per vector (nprobe=2 probing side), same map-side argmax
+    * machinery as [[ivfAssign]]: the runner-up cell is the argmax of the
+    * score array with the winner's slot nulled out (`array_max` skips
+    * nulls; first-occurrence position preserves the lowest-centroid-id
+    * tiebreak, i.e. the `row_number` ordering of the oracle). Still zero
+    * Exchange.
+    */
+  def ivfAssignProbe2(emb: DataFrame): DataFrame = {
+    val cents: Array[(Long, Array[Double])] = emb.filter(col("vec_id") < ivfCells)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ce"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    import graft.spark.VectorFunctions.vecDot
+    val withNa = emb
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("na", vecDot(col("embedding"), col("embedding")))
+    val scores = cents.map { case (_, ce) =>
+      val nb = ce.foldLeft(0d)((acc, x) => acc + x * x)
+      round(vecDot(col("embedding"), typedlit(ce.toSeq)) / sqrt(col("na") * lit(nb)), 6)
+    }
+    val ids = typedlit(cents.map(_._1).toSeq)
+    withNa
+      .withColumn("ccos_arr", array(scores.toIndexedSeq: _*))
+      .withColumn("i1",
+        array_position(col("ccos_arr"), array_max(col("ccos_arr"))))
+      .withColumn("arr2",
+        expr("transform(ccos_arr, (x, i) -> IF(i + 1 = i1, CAST(NULL AS DOUBLE), x))"))
+      .withColumn("i2", array_position(col("arr2"), array_max(col("arr2"))))
+      .select(col("vec_id"), col("embedding"),
+        element_at(ids, col("i1").cast("int")).as("cell1"),
+        element_at(ids, col("i2").cast("int")).as("cell2"))
+  }
+
+  /** IVF top-k with nprobe=2: candidates keep their single home cell, each
+    * query probes its TWO nearest cells (explode -> the same equi-join on
+    * cell). A neighbor lives in exactly one cell, so no pair dedup is
+    * needed. Strictly better recall than [[ivfTopK]] at 2x the candidate
+    * fan-in — the standard IVF quality/cost dial.
+    */
+  def ivfTopKProbe2(emb: DataFrame, nQueries: Int = 10, k: Int = 3): DataFrame = {
+    val c = ivfAssign(emb).select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ce"), col("cell"))
+    val q = ivfAssignProbe2(emb).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        explode(array(col("cell1"), col("cell2"))).as("cell"))
+    val scored = q.join(c, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Dedup.cosineExpr(col("qe"), col("ce")), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"), col("cos"))
+  }
+
   /** IVF top-k: candidates restricted to the query's cell (nprobe=1). */
   def ivfTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 3): DataFrame = {
     val assigned = ivfAssign(emb)

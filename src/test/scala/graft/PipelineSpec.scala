@@ -240,6 +240,18 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Window"), s"plan:\n$plan")
   }
 
+  test("ann: ivf nprobe=2 never ranks worse than nprobe=1 and stays map-side") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val p1 = Similarity.ivfTopK(emb, nQueries = 5, k = 1)
+      .select(col("query_id"), col("cos").as("cos1"))
+    val p2 = Similarity.ivfTopKProbe2(emb, nQueries = 5, k = 1)
+      .select(col("query_id"), col("cos").as("cos2"))
+    // probing a superset of cells can only improve the best hit
+    assert(p1.join(p2, Seq("query_id")).filter(col("cos2") < col("cos1")).count() == 0)
+    val plan = Similarity.ivfAssignProbe2(emb).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Window"), s"plan:\n$plan")
+  }
+
   test("ann: ivf top-k is subset-consistent with brute force") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val bf = Similarity.bruteForceTopK(emb, nQueries = 5, k = 3)
