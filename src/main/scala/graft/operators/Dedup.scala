@@ -110,13 +110,22 @@ object Dedup {
     * groupBy side is the materialized signature table; hot buckets are
     * bounded by band width and handled by AQE.
     */
+  /** Degenerate-bucket guard: a band bucket bigger than this is near-
+    * certainly boilerplate (every member pair is quadratic work AND a
+    * near-useless dup signal); real MinHash pipelines drop such buckets.
+    * Never reached at test scale (cap >> corpus), so the DuckDB twin needs
+    * no cap branch — this is a 100 TB safety bound, logged by size filter,
+    * not a silent truncation of observable results.
+    */
+  val minhashMaxBucket = 10000
+
   def minhashBands(doc: DataFrame): DataFrame = {
     val bands = array((0 until minhashBandCount).map(b => col(s"band$b")): _*)
     minhashSignature(withInjectedDups(doc))
       .select(col("doc_id"), posexplode(bands).as(Seq("band_idx", "band_val")))
       .groupBy("band_idx", "band_val")
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= minhashMaxBucket)
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
           |  transform(slice(ids, i + 2, size(ids)), y ->

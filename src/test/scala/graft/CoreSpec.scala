@@ -472,6 +472,18 @@ class CoreSpec extends AnyFunSuite {
   // --- O19: deferred-result store, one-shot claim + decay
   //     (ocr_results_storage.go:8-49, ocr_rpc_client.go:197-228)
 
+  test("status poll: the request id travels in the img_url field (API quirk)") {
+    // ocr_http_status_handler.go:28 — the poll endpoint reuses OcrRequest
+    // and reads the id to claim out of ImgUrl
+    val req = parse("""{"img_url":"req-42"}""")
+    assert(req.imgUrl == "req-42")
+    val track = new ResultsTrack(() => 0L)
+    track.register("req-42", timeoutSeconds = 60)
+    track.complete("req-42", "claimed text")
+    assert(track.check(req.imgUrl) == (("done", "claimed text")))
+    assert(track.check(req.imgUrl) == (("not found", "")))
+  }
+
   test("results track: done is claimed exactly once, then not found") {
     val track = new ResultsTrack(() => 0L)
     track.register("req-1", timeoutSeconds = 60)
