@@ -88,7 +88,21 @@ object ExtraQueries {
     // with injected duplicate events — survivors = distinct event_ids
     "events_stream_dedup" -> ((s, dir) =>
       graft.operators.Events.runStreamingDedup(s, dir)
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // third sessionization form: Spark's NATIVE session_window (merging
+    // [ts, ts+gap) intervals; a new session starts when the exact-time gap
+    // is >= 30 min — boundary-exclusive, unlike the lag-based sessionize's
+    // second-truncated strict->). One shuffle on (user_id, merged window).
+    "events_session_window" -> ((s, dir) =>
+      graft.operators.Events.events(s, dir)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).cast("long").as("n_sessions"),
+          sum(col("n")).cast("long").as("n_events"))
+        .orderBy("user_id"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -129,6 +143,20 @@ object ExtraQueries {
         |  CAST(count(DISTINCT event_id) AS BIGINT) AS n_events,
         |  CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // exact-microsecond gap compare, boundary-exclusive (>= gap starts a
+    // new session) — session_window's merge rule as a lag scan
+    "events_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN prev_ts IS NULL
+        |                  OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY 1 ORDER BY user_id""".stripMargin,
 
     "events_sessionize" ->
       """WITH g AS (
