@@ -138,6 +138,19 @@ object TrainingQueries {
       Multimodal.decodeMeta(s, media).toDF().orderBy("doc_id")
     }),
 
+    "multimodal_resize" -> ((s, dir) => {
+      val media = Multimodal.mediaTable(s, Transcripts.documents(s, dir))
+      Multimodal.resize(s, media).toDF()
+        .select(col("doc_id"), col("kind"), col("n_bytes"), col("resized_bytes"),
+          col("resized").cast("string").as("resized_text"))
+        .orderBy("doc_id")
+    }),
+
+    "multimodal_features" -> ((s, dir) => {
+      val media = Multimodal.mediaTable(s, Transcripts.documents(s, dir))
+      Multimodal.featureExtract(s, media).toDF().orderBy("doc_id")
+    }),
+
     "multimodal_frames" -> ((s, dir) => {
       val media = Multimodal.mediaTable(s, Transcripts.documents(s, dir))
       Multimodal.frameSample(s, media)
@@ -465,6 +478,43 @@ object TrainingQueries {
         |  CAST((length(text) + 4) % 480 + 16 AS INTEGER) AS height,
         |  CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE (length(text) + 4) * 3 END AS BIGINT) AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_resize" -> {
+      val payload =
+        "(CASE doc_id % 3 WHEN 0 THEN 'IMG0' WHEN 1 THEN 'AUD0' ELSE 'VID0' END || text)"
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         |    $payload AS payload,
+         |    length(text) + 4 AS n,
+         |    greatest(1, (length(text) + 4) // 64) AS k
+         |  FROM documents)
+         |SELECT doc_id, kind,
+         |  CAST(n AS INTEGER) AS n_bytes,
+         |  CAST((n + k - 1) // k AS INTEGER) AS resized_bytes,
+         |  array_to_string(
+         |    list_transform(range(0, (n + k - 1) // k),
+         |      i -> substr(payload, CAST(i * k + 1 AS INTEGER), 1)), '') AS resized_text
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+
+    "multimodal_features" -> {
+      val payload =
+        "(CASE doc_id % 3 WHEN 0 THEN 'IMG0' WHEN 1 THEN 'AUD0' ELSE 'VID0' END || text)"
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         |    $payload AS payload
+         |  FROM documents)
+         |SELECT doc_id, kind,
+         |  CAST(length(payload) AS INTEGER) AS f_len,
+         |  CAST(len(regexp_extract_all(payload, '[A-Za-z]')) AS INTEGER) AS f_alpha,
+         |  CAST(len(regexp_extract_all(payload, '[0-9]')) AS INTEGER) AS f_digit,
+         |  CAST(len(regexp_extract_all(payload, ' ')) AS INTEGER) AS f_space,
+         |  CAST(list_sum(list_transform(range(1, length(payload) + 1),
+         |    i -> ord(substr(payload, CAST(i AS INTEGER), 1)))) % 1000003 AS INTEGER) AS f_bytesum
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
 
     "multimodal_frames" ->
       """SELECT doc_id,

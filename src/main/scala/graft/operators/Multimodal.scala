@@ -70,6 +70,69 @@ object Multimodal {
     }
   }
 
+  final case class ResizedMedia(
+      doc_id: Long,
+      kind: String,
+      n_bytes: Int,
+      resized_bytes: Int,
+      resized: Array[Byte]
+  )
+
+  /** Resize pass (stub codec): deterministic every-k-th-byte downsample to
+    * ~`targetBytes` — binary in, binary out, one batched iterator per
+    * partition. A real deployment swaps the sampling loop for an image
+    * scaler; schema/batching/partitioning are the production shape.
+    */
+  def resize(spark: SparkSession, media: Dataset[MediaRow], targetBytes: Int = 64): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val n = r.media.length
+        val k = math.max(1, n / targetBytes)
+        val out = Array.ofDim[Byte]((n + k - 1) / k)
+        var i = 0
+        var j = 0
+        while (i < n) { out(j) = r.media(i); j += 1; i += k }
+        ResizedMedia(r.doc_id, r.kind, n, out.length, out)
+      }
+    }
+  }
+
+  final case class MediaFeatures(
+      doc_id: Long,
+      kind: String,
+      f_len: Int,
+      f_alpha: Int,
+      f_digit: Int,
+      f_space: Int,
+      f_bytesum: Int
+  )
+
+  /** Feature-extract pass (stub codec): cheap deterministic per-payload
+    * features (length, byte-class counts, modular byte sum) standing in for
+    * a real embedding model call — the batch boundary where an ONNX/JNI
+    * encoder would run; one iterator pass, typed columnar output.
+    */
+  def featureExtract(spark: SparkSession, media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        var alpha = 0; var digit = 0; var space = 0; var sum = 0L
+        var i = 0
+        val n = r.media.length
+        while (i < n) {
+          val b = r.media(i) & 0xff
+          if ((b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')) alpha += 1
+          else if (b >= '0' && b <= '9') digit += 1
+          else if (b == ' ') space += 1
+          sum += b
+          i += 1
+        }
+        MediaFeatures(r.doc_id, r.kind, n, alpha, digit, space, (sum % 1000003L).toInt)
+      }
+    }
+  }
+
   /** Frame-sample stub: split the payload into up to `n` fixed-stride chunks
     * (the partition/batch plumbing of video frame sampling; the decode of
     * each frame is the same stub boundary).
