@@ -95,6 +95,21 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("lineage: empty buckets still commit (one-job path, 64 buckets over 50 convs)") {
+    val t = Transcripts.fromDocuments(spark, sfDir)
+    val out = tmpDir("graft_empty_")
+    Lineage.run(spark, t, out, numBuckets = 64)
+    assert(Lineage.pendingBuckets(spark, out, 64).isEmpty)
+    val lineage = Lineage.readLineage(spark, out)
+    assert(lineage.count() == 64)
+    // 50 conversations into 64 hash buckets: some buckets MUST be empty,
+    // and they must be committed as done with 0 rows (else resume would
+    // reprocess them forever)
+    assert(lineage.filter(col("n_rows") === 0).count() > 0)
+    val total = lineage.agg(sum("n_rows")).collect()(0).getLong(0)
+    assert(total == t.count())
+  }
+
   test("plan: scan prunes to needed columns and the pipeline has exactly one shuffle") {
     val t = Transcripts.fromDocuments(spark, sfDir)
     val ds = ExtractPipeline.extract(spark, t)
