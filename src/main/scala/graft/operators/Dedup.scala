@@ -41,13 +41,14 @@ object Dedup {
       .groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
 
-  /** Distinct word-3-gram shingles of the `text` column. */
+  /** Distinct word-3-gram shingles of the `text` column — routed through
+    * the native one-pass [[graft.spark.Shingles3]] expression (the HOF form
+    * re-evaluated `split(text, ' ')` inside every lambda element: O(n²)
+    * per document). Bit-identical output order to
+    * `array_distinct(transform(...))` — pinned by a parity spec.
+    */
   def shingles(text: Column): Column =
-    expr(
-      s"""array_distinct(transform(sequence(0, size(split(text, ' ')) - 3),
-         |  i -> concat(element_at(split(text, ' '), i + 1), ' ',
-         |              element_at(split(text, ' '), i + 2), ' ',
-         |              element_at(split(text, ' '), i + 3))))""".stripMargin)
+    graft.spark.HashFunctions.shingles3(text)
 
   /** N-gram Jaccard over a candidate window (b.doc_id - a.doc_id in 1..2):
     * |A∩B| / (|A|+|B|-|A∩B|), rounded to 4.

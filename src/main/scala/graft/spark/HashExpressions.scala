@@ -87,8 +87,67 @@ case class MinHash16(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Static kernel for [[Shingles3]]. */
+object ShinglesKernel {
+  /** Distinct word-3-gram shingles of `text`, split on single spaces with
+    * trailing empties kept (Java `split(" ", -1)` == Spark
+    * `split(text, ' ')`), first-occurrence order (== `array_distinct` over
+    * the transform) — bit-identical to the SQL form
+    * `array_distinct(transform(sequence(0, size(toks)-3), i ->
+    * concat(toks[i+1], ' ', toks[i+2], ' ', toks[i+3])))` and its DuckDB
+    * twin. One pass; the HOF form re-evaluates `split(text, ' ')` inside
+    * every lambda element (O(tokens^2) work per document).
+    */
+  def shingles3(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val n = toks.length
+    if (n < 3) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](math.max(16, n))
+    var i = 0
+    while (i <= n - 3) {
+      seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) {
+      out(j) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native codegen'd word-3-gram shingling (see [[ShinglesKernel.shingles3]]).
+  * Feeds [[MinHash16]] and the Jaccard verifiers; the pair replaces the two
+  * hottest interpreted higher-order chains in the dedup family.
+  */
+case class Shingles3(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingles3 expects string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(t: Any): Any =
+    ShinglesKernel.shingles3(t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.ShinglesKernel.shingles3($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** DataFrame-DSL access. */
 object HashFunctions {
   def minHash16(grams: Column): Column =
     GraftColumnBridge.column(MinHash16(GraftColumnBridge.expression(grams)))
+
+  def shingles3(text: Column): Column =
+    GraftColumnBridge.column(Shingles3(GraftColumnBridge.expression(text)))
 }

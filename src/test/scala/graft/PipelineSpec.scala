@@ -313,6 +313,19 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaSql == 11.0)
   }
 
+  test("shingles3: native shingling is identical to the HOF array_distinct form") {
+    val hof = expr(
+      """array_distinct(transform(sequence(0, size(split(text, ' ')) - 3),
+        |  i -> concat(element_at(split(text, ' '), i + 1), ' ',
+        |              element_at(split(text, ' '), i + 2), ' ',
+        |              element_at(split(text, ' '), i + 3))))""".stripMargin)
+    val diff = Transcripts.documents(spark, sfDir)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(Dedup.shingles(col("text")).as("native"), hof.as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(diff.count() == 0, "native shingles diverged from the HOF form")
+  }
+
   test("minhash16: native signature is bit-identical to the md5-SQL form") {
     import graft.spark.HashFunctions.minHash16
     val doc = Transcripts.documents(spark, sfDir).limit(50)
