@@ -181,6 +181,21 @@ class CoreSpec extends AnyFunSuite {
     assert(r.status == "done")
   }
 
+  test("html: entities decode inside kept blocks") {
+    val html = "<body><p>Fish &amp; chips &lt;cost&gt; &#163;7 &#x2713; ok</p></body>"
+    val r = Extractor.extractTurn("c", 0, html, """{"engine":"tesseract"}""")
+    assert(r.text == "Fish & chips <cost> £7 ✓ ok")
+  }
+
+  test("html: link-dense block dropped, table cells kept") {
+    val html =
+      """<body><div><a href="/a">One</a> <a href="/b">Two</a> <a href="/c">Three link</a></div>
+        |<table><tr><td>Quarterly revenue figures here.</td></tr></table></body>""".stripMargin
+    val r = Extractor.extractTurn("c", 0, html, """{"engine":"tesseract"}""")
+    // the link farm (link density ~1) is dropped; td is always-content
+    assert(r.text == "Quarterly revenue figures here.")
+  }
+
   test("html: script-dense 1 MB document extracts in bounded time") {
     // regression: Html.extract used to re-lowercase the WHOLE document at
     // every <script>/<style> open tag (O(tags x n) copies); with ~38k script
