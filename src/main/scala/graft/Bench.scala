@@ -164,7 +164,12 @@ object Bench {
     val cores4N = cpus
     val bonusBudgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "400").toInt
     def elapsed = (System.nanoTime() - tStart) / 1e9
-    val levels = Seq(coresLow, coresN, cores4N)
+    // descending core order: the first child runs in the least-settled
+    // window (right after corpus materialization) — observed repeatedly as
+    // elevated cpu-us/turn for whichever level goes first. Give that window
+    // to the cheap full-width level; the ratio-defining 2-core level then
+    // measures in the calmest window.
+    val levels = Seq(cores4N, coresN, coresLow)
     val runsByLevel = scala.collection.mutable.Map.empty[Int, Vector[(Long, Double, Double)]]
       .withDefaultValue(Vector.empty)
     for (cores <- levels) {
