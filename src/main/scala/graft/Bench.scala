@@ -95,9 +95,14 @@ object Bench {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val cp = System.getProperty("java.class.path")
     // fixed PRE-TOUCHED heap: lazy page-faulting (even with Xms=Xmx) is
-    // catastrophic on this VM — 8-core runs degraded 5-10x without pretouch
+    // catastrophic on this VM — 8-core runs degraded 5-10x without pretouch.
+    // Heap scales with core count like per-executor memory on a real
+    // cluster: a <=4-core child runs few concurrent tasks (needs half the
+    // heap) and pretouching 8 GiB at 2 pinned cores in a noisy window was
+    // a measurable chunk of that child's multi-minute setup.
+    val heapGb = if (cores <= 4) childHeapGb / 2 else childHeapGb
     val base = Seq(javaBin, "-cp", cp,
-      s"-Xms${childHeapGb}g", s"-Xmx${childHeapGb}g", "-XX:+AlwaysPreTouch",
+      s"-Xms${heapGb}g", s"-Xmx${heapGb}g", "-XX:+AlwaysPreTouch",
       s"-XX:ActiveProcessorCount=$cores",
       "-Dspark.local.dir=" + shuffleDir(),
       "-Dspark.ui.enabled=false") ++ addOpens ++
