@@ -29,6 +29,14 @@ class CoreSpec extends AnyFunSuite {
     assert(parse("""{"engine":""}""").engine == Engine.Mock)
   }
 
+  test("engine decode: QUOTED digits are strings, not ints (\"2\" -> mock)") {
+    // ocr_engine.go:50-66 — a JSON string unmarshals as string first; "2"
+    // matches no engine name, so the unknown-string default applies (mock),
+    // NOT the int branch (which would be sandwich)
+    assert(parse("""{"engine":"2"}""").engine == Engine.Mock)
+    assert(parse("""{"engine":"0"}""").engine == Engine.Mock)
+  }
+
   test("engine decode: bare ints accepted verbatim (ocr_engine.go:73-76)") {
     assert(parse("""{"engine":0}""").engine == Engine.Tesseract)
     assert(parse("""{"engine":1}""").engine == Engine.GoTesseract)
