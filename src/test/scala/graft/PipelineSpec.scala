@@ -124,6 +124,14 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("Exchange".r.findAllMatchIn(plan).length == 1, s"plan:\n$plan")
   }
 
+  test("plan: predicate pushdown reaches the parquet scan") {
+    val plan = Transcripts.documents(spark, sfDir)
+      .filter(col("doc_id") < 100).select("doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("LessThan(doc_id,100)"),
+      s"filter not pushed to parquet:\n$plan")
+  }
+
   test("plan: ann brute-force broadcasts the candidate side") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val plan = Similarity.bruteForceTopK(emb, nQueries = 3, k = 2)
