@@ -241,6 +241,18 @@ class CoreSpec extends AnyFunSuite {
     assert(s6.text == "First paragraph of content here.\nSecond paragraph of content here.")
   }
 
+  test("tesseract: psm 13 joins single-block like psm 6; psm out of range errors") {
+    val html = "<body><p>First paragraph of content here.</p><p>Second paragraph of content here.</p></body>"
+    val s13 = Extractor.extractTurn("c", 0, html,
+      """{"engine":"tesseract","engine_args":{"psm":"13"}}""")
+    assert(s13.text == "First paragraph of content here.\nSecond paragraph of content here.")
+    assert(s13.status == "done")
+    // tesseract itself rejects --psm outside 0..13
+    val bad = Extractor.extractTurn("c", 0, "x",
+      """{"engine":"tesseract","engine_args":{"psm":"14"}}""")
+    assert(bad.status == "error")
+  }
+
   test("sandwich: txt path extracts pdf text and base64-encodes (sandwich_engine.go:484-487)") {
     val pdf = Pdf.synthesize("hello pdf world")
     val b64 = Payload.encodeBase64(pdf)
