@@ -296,16 +296,23 @@ object TrainingQueries {
       val bitTerms = (0 until Dedup.simhashBits).map { b =>
         s"(CASE WHEN len(list_filter(hs, x -> ((x >> $b) & 1) = 1)) * 2 > len(hs) THEN ${1 << b} ELSE 0 END)"
       }.mkString(" + ")
+      // OR-of-rotations banding: candidate iff ANY cyclic 8-bit window (at
+      // stride 4) of the 16-bit signature agrees — the twin of
+      // Dedup.simhashRotBlock. BIGINT cast avoids int32 overflow on << 16.
+      val anyWindow = (0 until Dedup.simhashBandCount).map { b =>
+        def w(side: String) =
+          s"(((CAST($side.simhash AS BIGINT) >> ${4 * b}) | (CAST($side.simhash AS BIGINT) << ${16 - 4 * b})) & 255)"
+        s"${w("a")} = ${w("b")}"
+      }.mkString(" OR ")
       s"""WITH h AS (
          |  SELECT doc_id,
          |    list_transform(string_split(text, ' '),
          |      t -> CAST('0x' || substr(md5(t), 1, 4) AS INTEGER)) AS hs
          |  FROM $duckDupBase),
-         |sig AS (SELECT doc_id, CAST($bitTerms AS INTEGER) AS simhash FROM h),
-         |k AS (SELECT doc_id, simhash, simhash >> 8 AS block FROM sig)
-         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |sig AS (SELECT doc_id, CAST($bitTerms AS INTEGER) AS simhash FROM h)
+         |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-         |FROM k a JOIN k b ON a.block = b.block AND a.doc_id < b.doc_id
+         |FROM sig a JOIN sig b ON ($anyWindow) AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY a_id, b_id""".stripMargin
     },

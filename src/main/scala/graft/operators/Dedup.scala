@@ -14,8 +14,8 @@ import org.apache.spark.sql.functions._
   *   - minhash: signature is a narrow map; the band bucket-join replaces the
   *     O(n^2) comparison with equi-joins on band keys (shuffle on band key,
   *     AQE handles hot buckets).
-  *   - simhash: narrow map to a 16-bit signature; hamming-window join on
-  *     signature prefix at scale.
+  *   - simhash: narrow map to a 16-bit signature; pairing via banded
+  *     OR-of-rotations blocking (equi-join keys, degenerate-block cap).
   *   - embedding: windowed-pair harness here; the scale path is
   *     [[Similarity.lshBuckets]] + within-bucket pairing.
   *
@@ -52,22 +52,26 @@ object Dedup {
 
   /** N-gram Jaccard over a candidate window (b.doc_id - a.doc_id in 1..2):
     * |A∩B| / (|A|+|B|-|A∩B|), rounded to 4.
+    *
+    * The ±2 window is generated as an EQUI-join: each doc explodes to its
+    * two candidate keys (doc_id+1, doc_id+2) and joins b on that key — a
+    * shuffle hash/SMJ join that holds at any scale. (The earlier range
+    * condition `b.doc_id - a.doc_id <= 2` compiled to a
+    * BroadcastNestedLoopJoin — cartesian-class; pinned gone by a plan test.)
     */
   def ngramJaccard(doc: DataFrame): DataFrame = {
     val g = doc
       .filter(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id"), shingles(col("text")).as("grams"))
-    val a = g.as("a")
-    val b = g.as("b")
-    a.join(b,
-        col("b.doc_id") > col("a.doc_id") && col("b.doc_id") - col("a.doc_id") <= 2)
+    val a = g.select(col("doc_id").as("a_id"), col("grams").as("a_grams"),
+      explode(array(col("doc_id") + 1, col("doc_id") + 2)).as("b_id"))
+    val inter = size(array_intersect(col("a_grams"), col("b_grams"))).cast("double")
+    a.join(g.select(col("doc_id").as("b_id"), col("grams").as("b_grams")), Seq("b_id"))
       .select(
-        col("a.doc_id").as("a_id"),
-        col("b.doc_id").as("b_id"),
-        round(
-          size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
-            (size(col("a.grams")) + size(col("b.grams")) -
-              size(array_intersect(col("a.grams"), col("b.grams")))).cast("double"),
+        col("a_id"),
+        col("b_id"),
+        round(inter /
+          (size(col("a_grams")) + size(col("b_grams")) - inter).cast("double"),
           4).as("jaccard"))
   }
 
@@ -176,26 +180,68 @@ object Dedup {
       bitTerms.reduce(_ + _).cast("int").as("simhash"))
   }
 
-  /** SimHash near-dup PAIRS (the signature alone dedups nothing): prefix
-    * blocking on the top 8 of the 16 signature bits, hamming distance <=
-    * `maxHamming` within the block via `bit_count(xor)`. Runs over the
-    * dup-injected corpus so exact duplicates (hamming 0) are guaranteed
-    * positives. Prefix blocking misses a pair whose flipped bits land in
-    * the top byte — the standard trade-off, fixed in production by also
-    * blocking on bit-rotations of the signature; the block join itself is
-    * the scale shape (equi-join on an 8-bit key, narrow signature map).
+  /** OR-of-rotations SimHash blocking: [[simhashBandCount]] cyclic 8-bit
+    * windows of the 16-bit signature at stride 4 (windows starting at bits
+    * 0, 4, 8, 12). A pair is a candidate if ANY window agrees — the same
+    * banded-LSH shape as [[minhashBands]]. Versus the single 8-bit-prefix
+    * block this fixes BOTH scale problems at once:
+    *   - key cardinality: 4 band indices x 256 window values = 1024 shuffle
+    *     keys instead of 256, and (critically) a degenerate block is bounded
+    *     by [[simhashMaxBlock]] like [[minhashMaxBucket]];
+    *   - recall: a pair whose flipped bits all land in one byte is missed by
+    *     prefix blocking but caught by whichever rotated window is clean
+    *     (pinned by a unit test flipping only bit 15).
     */
-  def simhashPairs(doc: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sig = simhash(withInjectedDups(doc))
-      .withColumn("block", shiftright(col("simhash"), 8))
-    val a = sig.as("a")
-    val b = sig.as("b")
-    a.join(b, col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("a_id"),
-        col("b.doc_id").as("b_id"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("int").as("hamming"))
+  val simhashBandCount = 4
+
+  /** Cyclic 8-bit window of the 16-bit `sig` starting at bit `4*b`. */
+  def simhashRotBlock(sig: Column, b: Int): Column = {
+    val lo = shiftright(sig, 4 * b)
+    val hi = shiftleft(sig, 16 - 4 * b)
+    (lo.bitwiseOR(hi)).bitwiseAND(lit(255)).cast("int")
+  }
+
+  /** Degenerate-block guard (the [[minhashMaxBucket]] pattern): a rotation
+    * block larger than this is boilerplate-grade and would pair
+    * quadratically; never reached at test scale, so the DuckDB twin needs no
+    * cap branch — a 100 TB safety bound, not a silent result truncation.
+    */
+  val simhashMaxBlock = 10000
+
+  /** SimHash near-dup PAIRS (the signature alone dedups nothing): banded
+    * rotation blocking ([[simhashRotBlock]]), hamming distance <=
+    * `maxHamming` inside each block via `bit_count(xor)`. ONE shuffle total:
+    * signatures explode on (band_idx, band_val), each block collects its
+    * (doc_id, simhash) structs once, and sorted in-block pairs are generated
+    * with an array expression — no self-join (the signature map is computed
+    * exactly once). Runs over the dup-injected corpus so exact duplicates
+    * (hamming 0) are guaranteed positives.
+    */
+  def simhashPairs(doc: DataFrame, maxHamming: Int = 3): DataFrame =
+    simhashPairsFromSig(simhash(withInjectedDups(doc)), maxHamming)
+
+  /** Pairing stage over a prebuilt (doc_id, simhash) table — exposed so the
+    * rotation-vs-prefix recall property can be unit-tested on synthetic
+    * signatures.
+    */
+  def simhashPairsFromSig(sig: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val bands = array((0 until simhashBandCount).map(b =>
+      simhashRotBlock(col("simhash"), b)): _*)
+    sig
+      .select(col("doc_id"), col("simhash"),
+        posexplode(bands).as(Seq("band_idx", "band_val")))
+      .groupBy("band_idx", "band_val")
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("simhash")))).as("ms"))
+      .filter(size(col("ms")) > 1 && size(col("ms")) <= simhashMaxBlock)
+      .select(explode(expr(
+        """flatten(transform(ms, (x, i) ->
+          |  transform(slice(ms, i + 2, size(ms)), y ->
+          |    named_struct('a_id', x.doc_id, 'b_id', y.doc_id,
+          |      'hamming', CAST(bit_count(x.simhash ^ y.simhash) AS INT)))))""".stripMargin)).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"),
+        col("p.hamming").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Cosine between two float/double[64] array columns — dot products run

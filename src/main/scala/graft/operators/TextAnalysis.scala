@@ -86,12 +86,22 @@ object TextAnalysis {
         langPredicted.as("predicted")): _*)
 
   /** Polynomial rolling hash (Karp-Rabin form): h = (h*31 + code) mod 2^31-1
-    * over the character codes — pure integer Catalyst expression, so the
-    * DuckDB twin computes the identical value. At scale this is the
+    * over the character codes, routed through the native one-pass
+    * [[graft.spark.RollingHash]] expression (the HOF form evaluated an
+    * interpreted lambda + a substring PER CHARACTER — the per-document
+    * fingerprint hot loop at 100 TB). Bit-identical to the interpreted
+    * `aggregate(transform(sequence(...), i -> ascii(substr(i,1))))` chain
+    * (pinned by a parity spec) and to the DuckDB twin. At scale this is the
     * incremental-fingerprint primitive (extendable per-chunk without
     * re-reading the document).
     */
   def rollingHash(text: Column): Column =
+    graft.spark.HashFunctions.rollingHash(text)
+
+  /** The interpreted HOF twin of [[rollingHash]] — kept for the parity spec
+    * that pins the native kernel to the SQL-expressible form.
+    */
+  def rollingHashHof(text: Column): Column =
     aggregate(
       transform(sequence(lit(1), length(text)),
         i => ascii(text.substr(i, lit(1))).cast("bigint")),

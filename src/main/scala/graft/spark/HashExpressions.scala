@@ -143,6 +143,58 @@ case class Shingles3(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Static kernel for [[RollingHash]]. */
+object RollingHashKernel {
+  /** Polynomial rolling hash h = (h*31 + code) mod 2^31-1 over the
+    * characters of `text`, where `code` replicates the HOF form
+    * `ascii(substr(text, i, 1))` exactly: Spark 4's `Ascii` returns the
+    * first character's CODE POINT (`codePointAt(0)` — verified against the
+    * shipped bytecode), which matches DuckDB's `ord()`. Bit-identical to the
+    * interpreted `aggregate(transform(sequence(1, length(text)),
+    * i -> ascii(substr)), 0, (h,c) -> (h*31+c) % 2147483647)` chain and to
+    * the DuckDB twin — pinned by a parity spec. One pass; the HOF form
+    * evaluates an interpreted lambda plus a character substring per
+    * character.
+    */
+  def rollingHash(text: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val s = text.toString
+    var h = 0L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      h = (h * 31L + cp) % 2147483647L
+      i += Character.charCount(cp)
+    }
+    h
+  }
+}
+
+/** Native codegen'd rolling-hash fingerprint (see
+  * [[RollingHashKernel.rollingHash]]) — the per-document fingerprint
+  * primitive of [[graft.operators.TextAnalysis.fingerprint]], third member
+  * of the one-pass kernel set ([[Shingles3]], [[MinHash16]]).
+  */
+case class RollingHash(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"rolling_hash expects string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(t: Any): Any =
+    RollingHashKernel.rollingHash(t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.RollingHashKernel.rollingHash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** DataFrame-DSL access. */
 object HashFunctions {
   def minHash16(grams: Column): Column =
@@ -150,4 +202,7 @@ object HashFunctions {
 
   def shingles3(text: Column): Column =
     GraftColumnBridge.column(Shingles3(GraftColumnBridge.expression(text)))
+
+  def rollingHash(text: Column): Column =
+    GraftColumnBridge.column(RollingHash(GraftColumnBridge.expression(text)))
 }

@@ -360,6 +360,60 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exact.count() == doc.filter(pmod(col("doc_id"), lit(4)) === 0).count())
   }
 
+  test("dedup: simhash rotation blocking finds a pair the 8-bit prefix misses") {
+    import spark.implicits._
+    // bit 15 flipped: top-byte prefix blocks differ (0x12 vs 0x92) so prefix
+    // blocking can never compare them; rotation window b=0 (bits 0-7 = 0x34)
+    // agrees, so banded blocking pairs them at hamming 1
+    val sig = Seq((1L, 0x1234), (2L, 0x9234)).toDF("doc_id", "simhash")
+    val pairs = Dedup.simhashPairsFromSig(sig, maxHamming = 3).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getLong(0) == 1L && pairs(0).getLong(1) == 2L)
+    assert(pairs(0).getInt(2) == 1)
+    // sanity: the old prefix key really would have missed this pair
+    assert((0x1234 >> 8) != (0x9234 >> 8))
+  }
+
+  test("plan: no cartesian-class join anywhere in the dedup family") {
+    val doc = Transcripts.documents(spark, sfDir)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val plans = Seq(
+      "ngram_jaccard" -> Dedup.ngramJaccard(doc),
+      "minhash_bands" -> Dedup.minhashBands(doc),
+      "minhash_verify" -> Dedup.minhashJaccard(doc),
+      "simhash_pairs" -> Dedup.simhashPairs(doc),
+      "embedding_near_dup" -> Dedup.embeddingNearDup(emb))
+    plans.foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"cartesian-class join in $name:\n$plan")
+    }
+  }
+
+  test("rolling_hash: native kernel is bit-identical to the aggregate/HOF form") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val corpus = Transcripts.documents(spark, sfDir)
+      .select(TextAnalysis.rollingHash(col("text")).as("native"),
+        TextAnalysis.rollingHashHof(col("text")).as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(corpus.count() == 0, "native rolling hash diverged from the HOF fold on the corpus")
+    // edge cases: empty string, non-ASCII (Spark 4's ascii() = first code
+    // point, matching DuckDB ord() — the kernel must replicate that), long
+    // text, astral-plane emoji (surrogate pair = ONE code point)
+    val edge = Seq("", "héllo wörld", "a", "x" * 5000, "emoji 😀 tail")
+      .toDF("text")
+      .select(TextAnalysis.rollingHash(col("text")).as("native"),
+        TextAnalysis.rollingHashHof(col("text")).as("hof"))
+      .collect()
+    edge.foreach(r => assert(r.getLong(0) == r.getLong(1), s"edge mismatch: $r"))
+    // participates in whole-stage codegen
+    val plan = Transcripts.documents(spark, sfDir)
+      .select(TextAnalysis.rollingHash(col("text")).as("h"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"no codegen stage in:\n$plan")
+  }
+
   test("dedup: injected near-dup embeddings found via content blocking") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val pairs = Dedup.embeddingNearDup(emb, minCos = 0.8).cache()
