@@ -53,14 +53,35 @@ object ExtraQueries {
       .orderBy("status")
   }
 
+  /** The catalog-TABLE twin of [[lineageRun]]: same crash-after-3-buckets +
+    * resume protocol through [[Lineage.runTable]] — `bucket` is a real
+    * catalog partition column, writes are `saveAsTable`/`insertInto` under
+    * dynamic partition overwrite, lineage is a real commit-marker table.
+    * Tables live in a per-run database with an explicit tmpfs LOCATION.
+    */
+  private def lineageTableRun(s: SparkSession, dir: String): DataFrame = {
+    val loc = graft.spark.TmpDirs.create("graft_lintab_")
+    val db = "g" + loc.replaceAll("[^a-zA-Z0-9]", "_").takeRight(24)
+    s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+    val data = s"$db.extract_data"
+    val lineage = s"$db.extract_lineage"
+    val transcripts = Transcripts.fromDocuments(s, dir)
+    Lineage.runTable(s, transcripts, data, lineage, numBuckets = 8, maxBucketsThisRun = 3)
+    Lineage.runTable(s, transcripts, data, lineage, numBuckets = 8) // resume
+    Lineage.readLineageTable(s, lineage)
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_buckets"), sum(col("n_rows")).cast("long").as("n_rows"))
+      .orderBy("status")
+  }
+
   /** One-shot Structured-Streaming extraction (Trigger.AvailableNow) over the
     * derived transcripts; returns per-status counts, which ARE
     * SQL-expressible -> full oracle for the streaming path.
     */
   private def streamingExtract(s: SparkSession, dir: String): DataFrame = {
     val base = graft.spark.TmpDirs.create("graft_stream_")
-    val in = s"$base/in"; val out = s"$base/out"; val cp = s"$base/cp"
-    Transcripts.fromDocuments(s, dir).write.mode("overwrite").parquet(in)
+    val out = s"$base/out"; val cp = s"$base/cp"
+    val in = graft.spark.Staged.transcripts(s, dir) // staged once per process
     StreamPipeline.runAvailableNow(s, in, out, cp)
     s.read.parquet(out)
       .groupBy("status").agg(count(lit(1)).as("n_rows"))
@@ -70,6 +91,7 @@ object ExtraQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "o16_salt_invariance" -> ((s, dir) => saltInvariance(s, dir)),
     "o19_lineage" -> ((s, dir) => lineageRun(s, dir)),
+    "o19_lineage_table" -> ((s, dir) => lineageTableRun(s, dir)),
     "streaming_extract" -> ((s, dir) => streamingExtract(s, dir)),
 
     // event-time windowed agg under a 10-min watermark (Structured
@@ -113,6 +135,11 @@ object ExtraQueries {
     // o19_lineage: bucket membership depends on xxhash64 (Spark-internal), so
     // the per-bucket split has no SQL twin — but the totals do.
     "o19_lineage" ->
+      """SELECT 'done' AS status, CAST(8 AS BIGINT) AS n_buckets,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM documents""".stripMargin,
+
+    "o19_lineage_table" ->
       """SELECT 'done' AS status, CAST(8 AS BIGINT) AS n_buckets,
         |  CAST(count(*) AS BIGINT) AS n_rows
         |FROM documents""".stripMargin,

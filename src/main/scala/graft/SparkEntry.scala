@@ -222,10 +222,11 @@ object SparkEntry {
     // Delivery.postbackOutcome (ocr_postback_client.go:27-78).
     "o20_postback_sink" -> ((s, dir) => {
       val base = graft.spark.TmpDirs.create("graft_postback_")
-      Transcripts.fromDocuments(s, dir).write.mode("overwrite").parquet(s"$base/in")
+      val in = graft.spark.Staged.transcripts(s, dir) // staged once per process
       graft.streaming.StreamPipeline.runPostbackSink(
-        s, s"$base/in", s"$base/delivery", s"$base/cp")
-      s.read.parquet(s"$base/delivery")
+        s, in, s"$base/delivery", s"$base/cp")
+      // batchId-scoped subdirs (b0, b1, ...) — not k=v partition dirs
+      s.read.option("recursiveFileLookup", "true").parquet(s"$base/delivery")
         .orderBy("conv_id", "turn_idx")
     }),
 

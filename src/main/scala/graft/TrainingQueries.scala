@@ -41,6 +41,23 @@ object TrainingQueries {
   private val duckHcat =
     "list_transform(grams, g -> md5('0:' || g) || md5('1:' || g) || md5('2:' || g) || md5('3:' || g))"
 
+  /** DuckDB twins of the minhash band keys (shared by the LSH, verify, and
+    * composed-pipeline oracles).
+    */
+  private lazy val duckBandExprs: String = {
+    import graft.operators.Dedup.{minhashBandCount, minhashRowsPerBand}
+    (0 until minhashBandCount).map { b =>
+      val rows = (0 until minhashRowsPerBand)
+        .map(r => duckMinhash(b * minhashRowsPerBand + r))
+        .mkString(" || '_' || ")
+      s"md5($rows) AS band$b"
+    }.mkString(",\n  ")
+  }
+
+  private lazy val duckAnyBand: String =
+    (0 until graft.operators.Dedup.minhashBandCount)
+      .map(b => s"a.band$b = b.band$b").mkString(" OR ")
+
   private def duckPlaneDot(j: Int): String =
     s"""list_sum(list_transform(range(1, 65),
        |  n -> CAST(embedding[n] AS DOUBLE) * (CASE WHEN (n * ${j + 3}) % 7 <= 3 THEN 1.0 ELSE -1.0 END)))""".stripMargin
@@ -107,20 +124,31 @@ object TrainingQueries {
       Similarity.ivfTopKProbe2(s.read.parquet(s"$dir/embeddings.parquet"))
         .orderBy("query_id", "rank")),
 
+    "ann_recall" -> ((s, dir) =>
+      Similarity.annRecall(s.read.parquet(s"$dir/embeddings.parquet"))
+        .orderBy("method", "query_id")),
+
     // Composed end-to-end training-data pipeline over the dup-injected
-    // corpus: exact dedup (keep smallest id per content hash) -> quality
-    // filter (uniq-token ratio, length) -> language ID -> per-language
-    // corpus stats. Plan shape: one hash-shuffle for the dedup groupBy,
-    // one equi-join back for survivor payloads, one partial-agg groupBy —
-    // every stage is the 100 TB shape of its standalone operator.
+    // corpus: exact dedup (keep smallest id per content hash) -> NEAR-dup
+    // removal (the flagship two-stage minhash-LSH-then-verify dedup: drop
+    // the larger id of every verified pair) -> quality filter (uniq-token
+    // ratio, length) -> language ID -> per-language corpus stats. Plan
+    // shape: one hash-shuffle for the dedup groupBy, the banded equi-join
+    // family for near-dups, one anti-join, one equi-join back for survivor
+    // payloads, one partial-agg groupBy — every stage is the 100 TB shape
+    // of its standalone operator.
     "training_pipeline_e2e" -> ((s, dir) => {
-      val base = Dedup.withInjectedDups(Transcripts.documents(s, dir))
+      val doc = Transcripts.documents(s, dir)
+      val base = Dedup.withInjectedDups(doc)
       val keepers = base
         .groupBy(md5(col("text")).as("h"))
         .agg(min(col("doc_id")).as("doc_id"))
         .select("doc_id")
+      val nearDupLosers = Dedup.minhashJaccard(doc)
+        .select(col("b_id").as("doc_id")).distinct()
       val t = TextAnalysis.tokens(col("text"))
       base.join(keepers, Seq("doc_id"))
+        .join(nearDupLosers, Seq("doc_id"), "left_anti")
         .withColumn("n_tokens", size(t).cast("int"))
         .withColumn("uniq_ratio",
           size(array_distinct(t)).cast("double") / size(t).cast("double"))
@@ -221,16 +249,7 @@ object TrainingQueries {
          |FROM g a JOIN g b ON b.doc_id > a.doc_id AND b.doc_id - a.doc_id <= 2
          |ORDER BY a_id, b_id""".stripMargin,
 
-    "dedup_minhash_lsh" -> {
-      import graft.operators.Dedup.{minhashBandCount, minhashRowsPerBand}
-      val bandExprs = (0 until minhashBandCount).map { b =>
-        val rows = (0 until minhashRowsPerBand)
-          .map(r => duckMinhash(b * minhashRowsPerBand + r))
-          .mkString(" || '_' || ")
-        s"md5($rows) AS band$b"
-      }.mkString(",\n  ")
-      val anyBand = (0 until minhashBandCount)
-        .map(b => s"a.band$b = b.band$b").mkString(" OR ")
+    "dedup_minhash_lsh" ->
       s"""WITH base AS $duckDupBase,
          |g AS (
          |  SELECT doc_id, $duckShingles AS grams
@@ -238,24 +257,14 @@ object TrainingQueries {
          |h AS (SELECT doc_id, $duckHcat AS hcat FROM g),
          |sig AS (
          |  SELECT doc_id,
-         |  $bandExprs
+         |  $duckBandExprs
          |  FROM h)
          |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          |FROM sig a JOIN sig b
-         |  ON ($anyBand) AND a.doc_id < b.doc_id
-         |ORDER BY a_id, b_id""".stripMargin
-    },
+         |  ON ($duckAnyBand) AND a.doc_id < b.doc_id
+         |ORDER BY a_id, b_id""".stripMargin,
 
     "dedup_minhash_verify" -> {
-      import graft.operators.Dedup.{minhashBandCount, minhashRowsPerBand}
-      val bandExprs = (0 until minhashBandCount).map { b =>
-        val rows = (0 until minhashRowsPerBand)
-          .map(r => duckMinhash(b * minhashRowsPerBand + r))
-          .mkString(" || '_' || ")
-        s"md5($rows) AS band$b"
-      }.mkString(",\n  ")
-      val anyBand = (0 until minhashBandCount)
-        .map(b => s"a.band$b = b.band$b").mkString(" OR ")
       s"""WITH base AS $duckDupBase,
          |g AS (
          |  SELECT doc_id, $duckShingles AS grams
@@ -263,12 +272,12 @@ object TrainingQueries {
          |h AS (SELECT doc_id, grams, $duckHcat AS hcat FROM g),
          |sig AS (
          |  SELECT doc_id, grams,
-         |  $bandExprs
+         |  $duckBandExprs
          |  FROM h),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
          |    a.grams AS a_grams, b.grams AS b_grams
-         |  FROM sig a JOIN sig b ON ($anyBand) AND a.doc_id < b.doc_id)
+         |  FROM sig a JOIN sig b ON ($duckAnyBand) AND a.doc_id < b.doc_id)
          |SELECT a_id, b_id,
          |  round(len(list_intersect(a_grams, b_grams)) * 1.0 /
          |        (len(a_grams) + len(b_grams) - len(list_intersect(a_grams, b_grams))), 4)
@@ -428,9 +437,26 @@ object TrainingQueries {
         val inList = words.map(w => s"'$w'").mkString(", ")
         s"len(list_filter(string_split(text, ' '), x -> x IN ($inList))) AS c_$lang"
       }.mkString(",\n    ")
+      val jac =
+        """round(len(list_intersect(a_grams, b_grams)) * 1.0 /
+          |        (len(a_grams) + len(b_grams) - len(list_intersect(a_grams, b_grams))), 4)""".stripMargin
       s"""WITH base AS $duckDupBase,
          |k AS (SELECT md5(text) AS h, min(doc_id) AS doc_id FROM base GROUP BY 1),
-         |j AS (SELECT b.doc_id, b.text FROM base b JOIN k ON b.doc_id = k.doc_id),
+         |g AS (
+         |  SELECT doc_id, $duckShingles AS grams
+         |  FROM base WHERE len(string_split(text, ' ')) >= 3),
+         |h2 AS (SELECT doc_id, grams, $duckHcat AS hcat FROM g),
+         |sig AS (
+         |  SELECT doc_id, grams,
+         |  $duckBandExprs
+         |  FROM h2),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    a.grams AS a_grams, b.grams AS b_grams
+         |  FROM sig a JOIN sig b ON ($duckAnyBand) AND a.doc_id < b.doc_id),
+         |loser AS (SELECT DISTINCT b_id AS doc_id FROM cand WHERE $jac >= 0.5),
+         |j AS (SELECT b.doc_id, b.text FROM base b JOIN k ON b.doc_id = k.doc_id
+         |      WHERE b.doc_id NOT IN (SELECT doc_id FROM loser)),
          |s AS (
          |  SELECT doc_id, text,
          |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
@@ -452,6 +478,76 @@ object TrainingQueries {
          |  CAST(sum(length(text)) AS BIGINT) AS total_chars
          |FROM p WHERE uniq_ratio >= 0.45 AND n_tokens >= 30
          |GROUP BY 1 ORDER BY predicted""".stripMargin
+    },
+
+    "ann_recall" -> {
+      // recall@3 of every ANN method vs the exact brute-force top-3 — the
+      // same CTE bodies as the ann_* oracles above, composed once
+      val lshBits = (0 until Similarity.planes).map { j =>
+        s"(CASE WHEN (${duckPlaneDot(j)}) > 0 THEN ${1 << j} ELSE 0 END)"
+      }.mkString(" + ")
+      def recallSelect(method: String, annCte: String) =
+        s"""SELECT '$method' AS method, t.query_id,
+           |  CAST(count(*) AS BIGINT) AS n_true,
+           |  CAST(sum(CASE WHEN m.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           |  round(sum(CASE WHEN m.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+           |        / count(*), 4) AS recall
+           |FROM truth t LEFT JOIN $annCte m
+           |  ON t.query_id = m.query_id AND t.neighbor_id = m.neighbor_id
+           |GROUP BY t.query_id""".stripMargin
+      s"""WITH bs AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(${duckCosine("q.embedding", "c.embedding")}, 6) AS cos
+         |  FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+         |  WHERE q.vec_id < 10),
+         |btr AS (SELECT query_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM bs),
+         |truth AS (SELECT query_id, neighbor_id FROM btr WHERE rn <= 3),
+         |lb AS (
+         |  SELECT vec_id, embedding, CAST($lshBits AS INTEGER) AS bucket FROM embeddings),
+         |ls AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(${duckCosine("q.embedding", "c.embedding")}, 6) AS cos
+         |  FROM lb q JOIN lb c ON q.bucket = c.bucket AND c.vec_id != q.vec_id
+         |  WHERE q.vec_id < 10),
+         |lsr AS (SELECT query_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM ls),
+         |lsh3 AS (SELECT query_id, neighbor_id FROM lsr WHERE rn <= 3),
+         |cent AS (
+         |  SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings
+         |  WHERE vec_id < ${Similarity.ivfCells}),
+         |sc AS (
+         |  SELECT e.vec_id, e.embedding, c.centroid_id,
+         |    round(${duckCosine("e.embedding", "c.ce")}, 6) AS ccos
+         |  FROM embeddings e, cent c),
+         |a AS (
+         |  SELECT vec_id, embedding, centroid_id AS cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rn
+         |  FROM sc),
+         |asg AS (SELECT vec_id, embedding, cell FROM a WHERE rn = 1),
+         |probe AS (SELECT vec_id, embedding, cell FROM a WHERE rn <= 2),
+         |ivs AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(${duckCosine("q.embedding", "c.embedding")}, 6) AS cos
+         |  FROM asg q JOIN asg c ON q.cell = c.cell AND c.vec_id != q.vec_id
+         |  WHERE q.vec_id < 10),
+         |ivr AS (SELECT query_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM ivs),
+         |ivf3 AS (SELECT query_id, neighbor_id FROM ivr WHERE rn <= 3),
+         |p2s AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(${duckCosine("q.embedding", "c.embedding")}, 6) AS cos
+         |  FROM probe q JOIN asg c ON q.cell = c.cell AND c.vec_id != q.vec_id
+         |  WHERE q.vec_id < 10),
+         |p2r AS (SELECT query_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM p2s),
+         |probe3 AS (SELECT query_id, neighbor_id FROM p2r WHERE rn <= 3)
+         |${recallSelect("lsh", "lsh3")}
+         |UNION ALL
+         |${recallSelect("ivf", "ivf3")}
+         |UNION ALL
+         |${recallSelect("ivf_probe2", "probe3")}
+         |ORDER BY method, query_id""".stripMargin
     },
 
     "ann_ivf_topk_probe2" ->

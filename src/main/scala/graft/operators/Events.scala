@@ -46,8 +46,8 @@ object Events {
     */
   def runWindowedStream(spark: SparkSession, sfDir: String): DataFrame = {
     val base = graft.spark.TmpDirs.create("graft_events_")
-    val in = s"$base/in"; val out = s"$base/out"; val cp = s"$base/cp"
-    events(spark, sfDir).write.mode("overwrite").parquet(in)
+    val out = s"$base/out"; val cp = s"$base/cp"
+    val in = graft.spark.Staged.events(spark, sfDir) // staged once per process
     val stream = spark.readStream.schema(eventSchema).parquet(in)
     val q = windowedCounts(stream).writeStream
       .format("parquet")
@@ -66,21 +66,27 @@ object Events {
 
   /** STREAMING exact dedup: `dropDuplicatesWithinWatermark` on event_id —
     * the streaming member of the dedup family (state holds one key per
-    * event inside the watermark horizon, exactly the bounded-state shape a
-    * 10^12-event stream needs; at-least-once upstream delivery becomes
-    * exactly-once downstream). Run over the events table with every 5th
-    * event duplicated (deterministic injection), so the operator provably
-    * drops something; per-type surviving counts are SQL-expressible.
+    * event inside the watermark horizon; at-least-once upstream delivery
+    * becomes exactly-once downstream). Run over the events table with every
+    * 5th event duplicated (deterministic injection), so the operator
+    * provably drops something; per-type surviving counts are
+    * SQL-expressible.
+    *
+    * The harness watermark delay covers the table's FULL event-time span
+    * (and the staged input is one file = one AvailableNow micro-batch), so
+    * "survivors = distinct event_ids" is a STRUCTURAL guarantee — with a
+    * short delay, a duplicate landing in a later micro-batch after its key
+    * aged out of state would survive. A production deployment sets the
+    * delay to its real dedup horizon (bounding state), which is exactly the
+    * operator's contract: dedup-within-horizon, not dedup-forever.
     */
   def runStreamingDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val base = graft.spark.TmpDirs.create("graft_sdedup_")
-    val in = s"$base/in"; val out = s"$base/out"; val cp = s"$base/cp"
-    val src = events(spark, sfDir)
-    src.unionByName(src.filter(pmod(col("event_id"), lit(5)) === 0))
-      .write.mode("overwrite").parquet(in)
+    val out = s"$base/out"; val cp = s"$base/cp"
+    val in = graft.spark.Staged.eventsWithDups(spark, sfDir)
     val stream = spark.readStream.schema(eventSchema).parquet(in)
     val q = stream
-      .withWatermark("ts", "10 minutes")
+      .withWatermark("ts", "3650 days") // >= the table's event-time span
       .dropDuplicatesWithinWatermark("event_id")
       .writeStream
       .format("parquet")

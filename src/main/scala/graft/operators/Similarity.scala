@@ -183,6 +183,34 @@ object Similarity {
         col("neighbor_id"), col("cos"))
   }
 
+  /** Recall@k of each ANN method against the exact brute-force top-k — the
+    * measured form of the recall/cost dial the probing docs describe
+    * (nprobe=2 probes 2x the candidates for strictly-no-worse recall).
+    * Output: one row per (method, query) with n_hit of n_true exact
+    * neighbors recovered. All inputs are the deterministic rankings above
+    * (cos rounded to 6, neighbor-id tiebreak), so recall itself is
+    * oracle-exact. Plan shape: the truth table is tiny (nQueries*k rows);
+    * each method joins it once — broadcast-grade at any corpus size.
+    */
+  def annRecall(emb: DataFrame, nQueries: Int = 10, k: Int = 3): DataFrame = {
+    val truth = bruteForceTopK(emb, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    def recallOf(method: String, ann: DataFrame): DataFrame =
+      truth.join(
+          ann.select(col("query_id"), col("neighbor_id"), lit(1).as("hit")),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).cast("long").as("n_true"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+        .select(lit(method).as("method"), col("query_id"), col("n_true"),
+          col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_true").cast("double"), 4)
+            .as("recall"))
+    recallOf("lsh", lshTopK(emb, nQueries, k))
+      .unionByName(recallOf("ivf", ivfTopK(emb, nQueries, k)))
+      .unionByName(recallOf("ivf_probe2", ivfTopKProbe2(emb, nQueries, k)))
+  }
+
   /** LSH-bucketed top-k: same ranking but candidates restricted to the
     * query's bucket (equi-join on bucket — the 100 TB shape).
     */

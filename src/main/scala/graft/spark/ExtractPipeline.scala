@@ -137,6 +137,35 @@ object ExtractPipeline {
       }
   }
 
+  /** O14's CROSS-JOB half — the reference's `x-max-priority` queue also
+    * reorders work ACROSS requests (`ocr_rpc_client.go:74-85,294-340`): a
+    * later high-priority request's messages preempt queued low-priority
+    * ones. The Spark analog is FAIR scheduler pools at SUBMISSION time:
+    * every job a batch submits while inside [[withPriorityPool]] lands in
+    * the pool named for its doc_type's priority class, and with
+    * `spark.scheduler.mode=FAIR` the task scheduler weights pools against
+    * each other — so an egov (prio 9) batch submitted mid-flight gets
+    * resources ahead of queued standard (prio 1) work, exactly the queue
+    * semantics. (In-task ordering — the other half — is `priorityOrdered`
+    * above.) Pool assignment is a thread-local SparkContext property, which
+    * is why this is an around-submission combinator rather than a plan
+    * node.
+    */
+  def poolFor(docType: String, config: Engines.CoreConfig = Engines.CoreConfig()): String =
+    s"prio-${Extractor.priority(docType, config)}"
+
+  def withPriorityPool[T](
+      spark: SparkSession,
+      docType: String,
+      config: Engines.CoreConfig = Engines.CoreConfig()
+  )(body: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.scheduler.pool")
+    sc.setLocalProperty("spark.scheduler.pool", poolFor(docType, config))
+    try body
+    finally sc.setLocalProperty("spark.scheduler.pool", prev)
+  }
+
   /** Extraction + stable-ordered write (the equality contract orders by
     * (conv_id, turn_idx); we sort within partitions for run-length locality
     * and deterministic files).

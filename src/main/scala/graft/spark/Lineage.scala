@@ -35,18 +35,27 @@ object Lineage {
   def lineagePath(outDir: String) = s"$outDir/_lineage"
   def dataPath(outDir: String) = s"$outDir/data"
 
+  private def emptyLineage(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_buckets", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_rows", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("chars_out", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("status", org.apache.spark.sql.types.StringType))))
+
+  /** Committed lineage, or the empty table iff the lineage path does not
+    * exist yet (first run). ONLY path-not-found is treated as "no lineage":
+    * a corrupt or unreadable lineage table must fail loudly — swallowing it
+    * would silently reprocess every bucket over partial output.
+    */
   def readLineage(spark: SparkSession, outDir: String): DataFrame =
     try spark.read.parquet(lineagePath(outDir))
     catch {
-      case _: Exception =>
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("n_buckets", org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("n_rows", org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("chars_out", org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("status", org.apache.spark.sql.types.StringType))))
+      case e: org.apache.spark.sql.AnalysisException
+          if Option(e.getCondition).contains("PATH_NOT_FOUND") =>
+        emptyLineage(spark)
     }
 
   /** Process up to `maxBucketsThisRun` pending buckets; returns the lineage
@@ -86,9 +95,13 @@ object Lineage {
         .partitionBy("bucket")
         .parquet(dataPath(outDir))
       // per-bucket stats from a columnar readback of the committed files
-      // (reads 2 columns, not the corpus)
-      val stats = spark.read.parquet(dataPath(outDir))
-        .withColumn("bucket", col("bucket").cast("long"))
+      // (reads 2 columns, not the corpus). Read with the EXPLICIT write
+      // schema: (a) an all-empty write leaves only _SUCCESS behind and
+      // schema inference would throw; (b) `bucket` is declared long, so the
+      // isin filter below is a partition-pruning predicate on the raw
+      // partition column — a resume never scans previously committed
+      // buckets' files (the earlier post-read cast defeated pruning).
+      val stats = spark.read.schema(extracted.schema).parquet(dataPath(outDir))
         .filter(col("bucket").isin(pending: _*))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"),
@@ -118,4 +131,83 @@ object Lineage {
   /** The committed output across all completed buckets. */
   def readOutput(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(s"${dataPath(outDir)}/bucket=*")
+
+  // ------------------------------------------------------------------ tables
+
+  /** Catalog-TABLE mode — the same exactly-once bucket protocol against real
+    * catalog tables, making the "bucket = table partition, lineage = a tiny
+    * commit-marker table, resume = one anti-join on a partition column"
+    * claim executable (SURVEY §1.3 names Iceberg; the Iceberg runtime jar is
+    * not available in this zero-egress sandbox, so this uses Spark's
+    * built-in session catalog — `saveAsTable` creating a parquet table
+    * partitioned by `bucket`, `insertInto` under dynamic partition
+    * overwrite on resume. The protocol is catalog-agnostic: on Iceberg the
+    * same two writes become `writeTo(t).overwritePartitions()` and the
+    * lineage append.)
+    *
+    * `dataTable`/`lineageTable` are table identifiers (optionally
+    * db-qualified); create the db with an explicit LOCATION first if the
+    * default warehouse dir is not writable.
+    */
+  def readLineageTable(spark: SparkSession, lineageTable: String): DataFrame =
+    if (spark.catalog.tableExists(lineageTable)) spark.table(lineageTable)
+    else emptyLineage(spark)
+
+  def runTable(
+      spark: SparkSession,
+      transcripts: DataFrame,
+      dataTable: String,
+      lineageTable: String,
+      numBuckets: Int = 8,
+      maxBucketsThisRun: Int = Int.MaxValue
+  ): DataFrame = {
+    val existing = readLineageTable(spark, lineageTable)
+    val priorBuckets: Set[Long] =
+      existing.select("n_buckets").distinct().collect().map(_.getLong(0)).toSet
+    require(priorBuckets.isEmpty || priorBuckets == Set(numBuckets.toLong),
+      s"lineage table $lineageTable was committed with numBuckets=" +
+        s"${priorBuckets.mkString(",")}; resume must use the same value (got $numBuckets)")
+    val done: Set[Long] = existing
+      .select("bucket").distinct().collect().map(_.getLong(0)).toSet
+    val pending = (0L until numBuckets.toLong).filterNot(done).take(maxBucketsThisRun)
+    if (pending.nonEmpty) {
+      val subset = transcripts.filter(bucketCol(numBuckets).isin(pending: _*))
+      val extracted = ExtractPipeline.extract(spark, subset)
+        .withColumn("bucket", bucketCol(numBuckets))
+        .sortWithinPartitions("conv_id", "turn_idx")
+      if (!spark.catalog.tableExists(dataTable)) {
+        extracted.write.partitionBy("bucket").format("parquet").saveAsTable(dataTable)
+      } else {
+        // dynamic overwrite: ONLY the pending buckets' partitions are
+        // replaced (idempotent under crash+rerun), committed ones untouched
+        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try extracted.write.mode("overwrite").insertInto(dataTable)
+        finally prev match {
+          case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+      }
+      // stats readback from the committed table; `bucket` is a real catalog
+      // partition column, so the isin filter is partition pruning
+      val stats = spark.table(dataTable)
+        .filter(col("bucket").isin(pending: _*))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(col("n_chars_out")), lit(0L)).cast("long").as("c"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      import spark.implicits._
+      pending
+        .map { b =>
+          val (n, c) = stats.getOrElse(b, (0L, 0L))
+          (b, numBuckets.toLong, n, c, "done")
+        }
+        .toDF("bucket", "n_buckets", "n_rows", "chars_out", "status")
+        .coalesce(1)
+        .write.mode("append").format("parquet").saveAsTable(lineageTable)
+    }
+    readLineageTable(spark, lineageTable)
+  }
 }

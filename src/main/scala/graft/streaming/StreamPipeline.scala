@@ -51,11 +51,15 @@ object StreamPipeline {
     * `ocr_rpc_client.go:232-277`): each micro-batch's extraction results are
     * "posted back" through [[graft.core.Delivery.postbackOutcome]] and the
     * per-row attempt/outcome is recorded in a delivery table via
-    * `foreachBatch` — the Spark shape of a side-effecting sink, idempotent
-    * per micro-batch through the checkpoint. Failure counts are simulated
-    * deterministically (turn_idx % 5) so the delivery table is
-    * oracle-checkable; a real deployment would substitute the HTTP POST and
-    * record the observed outcome in the same table.
+    * `foreachBatch`. The write is IDEMPOTENT under restart: each micro-batch
+    * OVERWRITES its own batchId-scoped directory (`deliveryDir/b<batchId>`),
+    * so a crash after the write but before the checkpoint commit makes the
+    * retried batch rewrite — not duplicate — its rows (a plain `append`
+    * would be at-least-once). Read the table back with
+    * `recursiveFileLookup` (the subdirs are not k=v partition dirs).
+    * Failure counts are simulated deterministically (turn_idx % 5) so the
+    * delivery table is oracle-checkable; a real deployment would substitute
+    * the HTTP POST and record the observed outcome in the same table.
     */
   def runPostbackSink(
       spark: SparkSession,
@@ -67,7 +71,7 @@ object StreamPipeline {
     val extracted = ExtractPipeline.extract(spark, stream)
     val q = extracted.writeStream
       .foreachBatch {
-        (batch: org.apache.spark.sql.Dataset[ExtractPipeline.Extracted], _: Long) =>
+        (batch: org.apache.spark.sql.Dataset[ExtractPipeline.Extracted], batchId: Long) =>
           val s = batch.sparkSession
           import s.implicits._
           batch
@@ -80,7 +84,7 @@ object StreamPipeline {
             }
             .toDF("conv_id", "turn_idx", "status", "attempts", "delivered",
               "backoff_s", "reply_header")
-            .write.mode("append").parquet(deliveryDir)
+            .write.mode("overwrite").parquet(s"$deliveryDir/b$batchId")
           ()
       }
       .option("checkpointLocation", checkpointDir)

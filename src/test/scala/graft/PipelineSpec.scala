@@ -95,6 +95,57 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("lineage: catalog-table path — crash + resume equals the path-based output") {
+    val t = Transcripts.fromDocuments(spark, sfDir)
+    val loc = tmpDir("graft_lintabspec_")
+    val db = "gspec" + loc.replaceAll("[^a-zA-Z0-9]", "_").takeRight(16)
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+    val data = s"$db.d"; val lin = s"$db.l"
+    Lineage.runTable(spark, t, data, lin, numBuckets = 8, maxBucketsThisRun = 3)
+    assert(Lineage.readLineageTable(spark, lin).count() == 3)
+    Lineage.runTable(spark, t, data, lin, numBuckets = 8) // resume: remaining 5
+    assert(Lineage.readLineageTable(spark, lin).count() == 8)
+    // rerunning when nothing is pending is a no-op
+    Lineage.runTable(spark, t, data, lin, numBuckets = 8)
+    assert(Lineage.readLineageTable(spark, lin).count() == 8)
+    // bucket is a REAL catalog partition column
+    assert(spark.sql(s"SHOW PARTITIONS $data").count() > 0)
+    // table output equals the direct pipeline output
+    val viaTable = spark.table(data)
+      .select("conv_id", "turn_idx", "text", "status", "engine")
+      .orderBy("conv_id", "turn_idx").collect().toSeq
+    val direct = ExtractPipeline.extract(spark, t)
+      .select("conv_id", "turn_idx", "text", "status", "engine")
+      .orderBy("conv_id", "turn_idx").collect().toSeq
+    assert(viaTable == direct)
+    // bucket-count mismatch refused, same as the path mode
+    intercept[IllegalArgumentException] {
+      Lineage.runTable(spark, t, data, lin, numBuckets = 16)
+    }
+  }
+
+  test("lineage: corrupt lineage table fails loudly instead of reprocessing") {
+    val out = tmpDir("graft_corrupt_")
+    val linDir = java.nio.file.Paths.get(Lineage.lineagePath(out))
+    java.nio.file.Files.createDirectories(linDir)
+    java.nio.file.Files.write(linDir.resolve("part-00000.parquet"),
+      "this is not a parquet file".getBytes("UTF-8"))
+    // a corrupt commit log must NOT be treated as "no lineage yet" — that
+    // would silently reprocess all buckets over partial output
+    intercept[Exception] { Lineage.readLineage(spark, out).collect() }
+  }
+
+  test("lineage: zero-row input still commits every bucket (empty-write readback)") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, Int, String, String)]
+      .toDF("conv_id", "turn_idx", "text", "tool")
+    val out = tmpDir("graft_zero_")
+    val lineage = Lineage.run(spark, empty, out, numBuckets = 4)
+    assert(lineage.count() == 4)
+    assert(lineage.filter(col("n_rows") =!= 0).count() == 0)
+    assert(Lineage.pendingBuckets(spark, out, 4).isEmpty)
+  }
+
   test("lineage: empty buckets still commit (one-job path, 64 buckets over 50 convs)") {
     val t = Transcripts.fromDocuments(spark, sfDir)
     val out = tmpDir("graft_empty_")
@@ -238,6 +289,25 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = ds.queryExecution.executedPlan.toString
     assert("Exchange".r.findAllMatchIn(plan).length == 1, s"plan:\n$plan")
     assert(plan.contains("Sort"), s"expected an in-partition Sort in:\n$plan")
+  }
+
+  test("priority: cross-job FAIR pool assignment per doc_type class") {
+    import graft.core.Engines
+    val cfg = Engines.CoreConfig(prioMap = Map("standard" -> 1, "egov" -> 9))
+    val sc = spark.sparkContext
+    assert(ExtractPipeline.poolFor("egov", cfg) == "prio-9")
+    assert(ExtractPipeline.poolFor("standard", cfg) == "prio-1")
+    assert(ExtractPipeline.poolFor("", cfg) == "prio-1") // absent doc_type
+    assert(ExtractPipeline.poolFor("unknown-class", cfg) == "prio-1") // -> standard
+    // every job submitted inside the combinator carries the pool property...
+    val observed = ExtractPipeline.withPriorityPool(spark, "egov", cfg) {
+      val p = sc.getLocalProperty("spark.scheduler.pool")
+      spark.range(10).count() // a real submission under the pool
+      p
+    }
+    assert(observed == "prio-9")
+    // ...and the property is restored afterwards (no leakage across jobs)
+    assert(sc.getLocalProperty("spark.scheduler.pool") == null)
   }
 
   test("distribution: heavy-only (no full shuffle) equals the salted pipeline") {
