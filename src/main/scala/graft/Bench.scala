@@ -10,14 +10,15 @@ import org.apache.spark.sql.{functions => F, SparkSession}
   * expired before rep 3 of the ladder — the ladder now runs FIRST):
   *   1. materialize a deterministically amplified corpus (default 4M turns,
   *      256 parquet files) on tmpfs;
-  *   2. the north-rule scaling ladder: the SAME job at N/4N/16N cores, ONE
-  *      pinned child JVM per level (taskset + ActiveProcessorCount, fixed
-  *      pre-touched heap) running `reps` timed passes back-to-back after a
-  *      warmup — per-rep JVM startup is paid once per level, so every rep
-  *      always executes. Best-of per level; reported as wall-clock
-  *      efficiency AND cpu-time work conservation. If time remains, one
-  *      bonus single-pass child at each primary level samples a different
-  *      weather window.
+  *   2. the north-rule scaling ladder: the SAME job at N/4N/16N cores,
+  *      run as INTERLEAVED ROUNDS — each round spawns one pinned child JVM
+  *      per level (taskset + ActiveProcessorCount, fixed pre-touched heap)
+  *      running its timed passes back-to-back after a warmup, so every
+  *      level samples several distinct host-weather windows and no level's
+  *      window placement can systematically skew the ratio. MEDIAN-of-
+  *      passes per level; reported as wall-clock efficiency AND cpu-time
+  *      work conservation; the headline value is the full-width level's
+  *      median.
   *   3. per-query wall-clock for every SparkEntry query at local[cpus].
   *
   * Methodology notes (measured on this sandbox, see BENCH.md):
@@ -140,7 +141,13 @@ object Bench {
     // defaults sized so the whole bench (corpus + 3-level ladder + queries)
     // stays well under the driver's time budget
     val amplify = sys.env.getOrElse("SPARK_GRAFT_AMPLIFY", "800").toInt
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    // 5 single-pass interleaved rounds: many short rounds beat few long
+    // ones — the graded ratio pairs levels WITHIN a round, so shorter
+    // rounds pair levels in tighter weather windows, and more rounds give
+    // the median more independent windows (host noise here is bursty on the
+    // minutes scale and hits multi-core levels hardest)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_ROUNDS", "5").toInt
 
     val tStart = System.nanoTime()
     def mark(phase: String): Unit =
@@ -167,44 +174,116 @@ object Bench {
     val coresLow = math.max(2, cpus / 16)
     val coresN = math.max(coresLow * 4, cpus / 4)
     val cores4N = cpus
-    val bonusBudgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "400").toInt
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "520").toInt
     def elapsed = (System.nanoTime() - tStart) / 1e9
-    // ASCENDING core order, deliberately: the first child measures in the
-    // least-settled window (observed repeatedly as elevated cpu-us/turn for
-    // whichever level goes first). Landing that window on the LOW level can
-    // only inflate the N->4N ratio — the safe direction; a descending
-    // order was tried once and handed the noisy window to the
-    // ratio-deflating 8-core level (measured 0.737, the only sub-0.8
-    // reading in nine otherwise >=0.81 runs). Structural bias must favor
-    // under-claiming the denominator, not the numerator.
+    // INTERLEAVED ROUNDS across the ladder: each round spawns one pinned
+    // child per level in ascending core order, so every level's passes
+    // sample at least `rounds` distinct weather windows. This removes the
+    // systematic window-placement bias of a single fixed-order sweep (host
+    // noise landing always on the same level's window skews the N->4N
+    // ratio: an ascending-only protocol measured 1.25 in a noisy low-core
+    // window and a descending experiment 0.74 — order alone). Round 1 runs
+    // `reps` timed passes per child, later rounds 1 pass each (startup paid
+    // per child either way); rounds after the first are skipped only if the
+    // time budget is already exhausted.
     val levels = Seq(coresLow, coresN, cores4N)
     val runsByLevel = scala.collection.mutable.Map.empty[Int, Vector[(Long, Double, Double)]]
       .withDefaultValue(Vector.empty)
-    for (cores <- levels) {
-      // one fewer pass at the slow low level: best-of there picks the
-      // FASTEST low-core run, which makes the efficiency ratio more
-      // conservative, not less — extra low-level passes only cost time
-      val r = if (cores == coresLow) math.max(2, reps - 1) else reps
-      val rs = runChild(cores, cores * 4, sfDir, corpusDir, r)
-      mark(s"child cores=$cores done (${rs.size} passes, " +
-        f"best ${if (rs.isEmpty) -1.0 else rs.map(_._2).min}%.2f s)")
-      runsByLevel(cores) = runsByLevel(cores) ++ rs
+    val runsByRound = scala.collection.mutable.Map.empty[(Int, Int), Vector[(Long, Double, Double)]]
+      .withDefaultValue(Vector.empty)
+    var roundsRun = 0
+    for (round <- 1 to rounds; if round == 1 || elapsed < budgetSec) {
+      roundsRun = round
+      val passes = if (round == 1) reps else 1
+      for (cores <- levels) {
+        var rs = runChild(cores, cores * 4, sfDir, corpusDir, passes)
+        if (rs.isEmpty) { // a crashed/empty child would otherwise NaN the JSON
+          System.err.println(s"[bench] child cores=$cores returned no passes; retrying once")
+          rs = runChild(cores, cores * 4, sfDir, corpusDir, passes)
+        }
+        mark(s"round $round child cores=$cores done (${rs.size} passes, " +
+          f"best ${if (rs.isEmpty) -1.0 else rs.map(_._2).min}%.2f s)")
+        runsByLevel(cores) = runsByLevel(cores) ++ rs
+        runsByRound((round, cores)) = runsByRound((round, cores)) ++ rs
+      }
     }
-    // bonus passes sample a different weather window (host noise is bursty):
-    // cheapest levels first so as many fit the budget as possible
-    for (cores <- Seq(cores4N, coresN, coresLow) if elapsed < bonusBudgetSec) {
-      val rs = runChild(cores, cores * 4, sfDir, corpusDir, 1)
-      mark(s"bonus child cores=$cores done")
-      runsByLevel(cores) = runsByLevel(cores) ++ rs
+    // hard guard: never emit NaN into the driver-parsed JSON line
+    levels.foreach { c =>
+      if (runsByLevel(c).isEmpty)
+        sys.error(s"bench aborted: zero successful passes at cores=$c after retry " +
+          "(refusing to emit NaN — inspect the child JVM output above)")
     }
-    def bestOf(cores: Int) = {
-      val runs = runsByLevel(cores)
-      if (runs.isEmpty) (0L, Double.NaN, Double.NaN) else runs.minBy(_._2)
+    def medianPass(runs: Vector[(Long, Double, Double)]) = {
+      val sorted = runs.sortBy(_._2)
+      sorted(sorted.size / 2) // upper-middle on even counts: the slower pass
     }
-    val (nLow, wallLow, cpuLow) = bestOf(coresLow)
-    val (nN, wallN, cpuN) = bestOf(coresN)
-    val (n4N, wall4N, cpu4N) = bestOf(cores4N)
+    // POOLED per-level medians: the throughput/capability numbers
+    def medianOf(cores: Int) = medianPass(runsByLevel(cores))
+    val (nLow, wallLow, cpuLow) = medianOf(coresLow)
+    val (nN, wallN, cpuN) = medianOf(coresN)
+    val (n4N, wall4N, cpu4N) = medianOf(cores4N)
+    // PAIRED per-round efficiency: host noise here is bursty on the scale of
+    // minutes and hits multi-core levels hardest (bandwidth contention), so
+    // a ratio of two levels measured in DIFFERENT windows measures the
+    // weather, not the code. Within a round the levels run back-to-back —
+    // the closest same-window pairing available — so the graded ratio is
+    // the MEDIAN over rounds of the within-round ratios. No selection: every
+    // round contributes exactly once, rounds are fixed up front.
+    def roundRatios(a: Int, b: Int): Vector[(Double, Double)] =
+      (1 to roundsRun).toVector.flatMap { r =>
+        (runsByRound((r, a)), runsByRound((r, b))) match {
+          case (ra, rb) if ra.nonEmpty && rb.nonEmpty =>
+            val (na, wa, ca) = medianPass(ra)
+            val (nb, wb, cb) = medianPass(rb)
+            val eff = ((nb / wb) / (na / wa)) / (b.toDouble / a)
+            val cons = (ca * 1e6 / math.max(1L, na)) / (cb * 1e6 / math.max(1L, nb))
+            Some((eff, cons))
+          case _ => None
+        }
+      }
+    def medianD(xs: Vector[Double]) = { val s = xs.sorted; s(s.size / 2) }
+    val pairsPrimary = roundRatios(coresLow, coresN)
+    val pairsHigh = roundRatios(coresN, cores4N)
+    val effPrimaryRounds = pairsPrimary.map(_._1)
+    val consPrimaryRounds = pairsPrimary.map(_._2)
     mark("ladder done")
+
+    // same-window WEATHER GAUGE: the pure-CPU kernel (graft.Probe kernelmt —
+    // no Spark, no parquet, no shuffle, zero DRAM-heavy traffic) run at the
+    // same two pinned core counts, interleaved. Its N->4N efficiency is the
+    // ceiling ANY job can reach in these minutes: when host co-tenants
+    // steal cycles/clocks, even this loop loses scaling (measured 0.73-0.79
+    // in noisy windows vs ~1.0 calm), so kernel_ceiling separates
+    // "the code stopped scaling" from "the box stopped scaling".
+    def kernelTput(threads: Int): Double = {
+      val javaBin = System.getProperty("java.home") + "/bin/java"
+      val cp = System.getProperty("java.class.path")
+      val base = Seq(javaBin, "-cp", cp, "-Xms2g", "-Xmx2g",
+        s"-XX:ActiveProcessorCount=$threads") ++ addOpens ++
+        Seq("graft.Probe", "kernelmt", threads.toString, "2000000")
+      val cmd =
+        if (new java.io.File("/usr/bin/taskset").exists())
+          Seq("/usr/bin/taskset", "-c", s"0-${threads - 1}") ++ base
+        else base
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectErrorStream(true)
+      val proc = pb.start()
+      val out = new String(proc.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      proc.waitFor()
+      out.linesIterator.collectFirst {
+        case l if l.contains("turns/sec") =>
+          l.split("= ")(1).split(" ")(0).toDouble
+      }.getOrElse(Double.NaN)
+    }
+    val kSamples = Vector(coresLow, coresN, coresLow, coresN).map(c => c -> kernelTput(c))
+    val kLow = kSamples.collect { case (c, v) if c == coresLow && !v.isNaN => v }
+    val kN = kSamples.collect { case (c, v) if c == coresN && !v.isNaN => v }
+    val kernelCeiling =
+      if (kLow.nonEmpty && kN.nonEmpty)
+        (medianD(kN) / medianD(kLow)) / (coresN.toDouble / coresLow)
+      else Double.NaN
+    mark(f"kernel weather gauge done (ceiling $kernelCeiling%.3f)")
 
     // cleanup corpus
     try {
@@ -231,24 +310,26 @@ object Bench {
     val tputLow = nLow / wallLow
     val tputN = nN / wallN
     val tput4N = n4N / wall4N
-    // headline = peak sustained throughput across the ladder: on this
-    // shared-DRAM box the full-width level is the most weather-exposed
-    // (cpu-us/turn swings 30-52 run to run), so the best measured level is
-    // the honest capability number; per-level figures are all reported
-    val tputPeak = Seq(tputLow, tputN, tput4N).filterNot(_.isNaN).max
-    val effPrimary = (tputN / tputLow) / (coresN.toDouble / coresLow)
-    val effHigh = (tput4N / tputN) / (cores4N.toDouble / coresN)
+    // headline = the FULL-WIDTH level's median throughput (all per-level
+    // figures are also in the JSON) — the capability number is what the
+    // whole box sustains, not the best level of the ladder
+    val tputHeadline = tput4N
+    // graded ratios = median of the within-round (same-weather-window) pairs
+    val effPrimary = medianD(effPrimaryRounds)
+    val effHigh = medianD(pairsHigh.map(_._1))
     val cpuPerTurnLow = cpuLow * 1e6 / math.max(1L, nLow)
     val cpuPerTurnN = cpuN * 1e6 / math.max(1L, nN)
     val cpuPerTurn4N = cpu4N * 1e6 / math.max(1L, n4N)
-    val consPrimary = cpuPerTurnLow / cpuPerTurnN
-    val consHigh = cpuPerTurnN / cpuPerTurn4N
+    val consPrimary = medianD(consPrimaryRounds)
+    val consHigh = medianD(pairsHigh.map(_._2))
 
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val queriesTotal = results.map(_._2).sum
     val passesPerLevel = levels.map(c => s""""$c":${runsByLevel(c).size}""").mkString("{", ",", "}")
+    val perRoundEff = effPrimaryRounds.map(e => f"$e%.3f").mkString("[", ",", "]")
+    val kernelCeilingJson = if (kernelCeiling.isNaN) "null" else f"$kernelCeiling%.3f"
     println(
-      f"""{"metric":"turns/sec extracted (per-turn text-equality pass rate = 100%%)","value":$tputPeak%.1f,"unit":"turns/sec","queries":$qs,"sf":"$sfDir","turns":$n4N,"amplify":$amplify,"queries_total_sec":$queriesTotal%.1f,"scaling":{"ladder":[{"cores":$coresLow,"wall_sec":$wallLow%.2f,"turns_per_sec":$tputLow%.1f,"cpu_us_per_turn":$cpuPerTurnLow%.1f},{"cores":$coresN,"wall_sec":$wallN%.2f,"turns_per_sec":$tputN%.1f,"cpu_us_per_turn":$cpuPerTurnN%.1f},{"cores":$cores4N,"wall_sec":$wall4N%.2f,"turns_per_sec":$tput4N%.1f,"cpu_us_per_turn":$cpuPerTurn4N%.1f}],"wall_efficiency_n_to_4n":$effPrimary%.3f,"n":$coresLow,"4n":$coresN,"wall_efficiency_4n_to_16n":$effHigh%.3f,"cpu_work_conservation_n_to_4n":$consPrimary%.3f,"cpu_work_conservation_4n_to_16n":$consHigh%.3f,"passes_per_level":$passesPerLevel,"protocol":"ladder first, ascending core order; one pinned child JVM per level (taskset 0..cores-1, ActiveProcessorCount) running $reps timed passes after warmup, Xms=Xmx=${childHeapGb}g AlwaysPreTouch (${childHeapGb / 2}g at <=4 cores), tmpfs corpus+shuffle, best-of-passes (+bonus pass per primary level when under budget)"}}"""
+      f"""{"metric":"turns/sec extracted (per-turn text-equality pass rate = 100%%)","value":$tputHeadline%.1f,"unit":"turns/sec","queries":$qs,"sf":"$sfDir","turns":$n4N,"amplify":$amplify,"queries_total_sec":$queriesTotal%.1f,"scaling":{"ladder":[{"cores":$coresLow,"wall_sec":$wallLow%.2f,"turns_per_sec":$tputLow%.1f,"cpu_us_per_turn":$cpuPerTurnLow%.1f},{"cores":$coresN,"wall_sec":$wallN%.2f,"turns_per_sec":$tputN%.1f,"cpu_us_per_turn":$cpuPerTurnN%.1f},{"cores":$cores4N,"wall_sec":$wall4N%.2f,"turns_per_sec":$tput4N%.1f,"cpu_us_per_turn":$cpuPerTurn4N%.1f}],"wall_efficiency_n_to_4n":$effPrimary%.3f,"n":$coresLow,"4n":$coresN,"wall_efficiency_4n_to_16n":$effHigh%.3f,"cpu_work_conservation_n_to_4n":$consPrimary%.3f,"cpu_work_conservation_4n_to_16n":$consHigh%.3f,"per_round_wall_efficiency_n_to_4n":$perRoundEff,"kernel_ceiling_n_to_4n":$kernelCeilingJson,"passes_per_level":$passesPerLevel,"protocol":"ladder first; $roundsRun INTERLEAVED rounds over ascending levels, one pinned child JVM per (round, level) (taskset 0..cores-1, ActiveProcessorCount; $reps timed passes after warmup in round 1, 1 pass later rounds), Xms=Xmx=${childHeapGb}g AlwaysPreTouch (${childHeapGb / 2}g at <=4 cores), tmpfs corpus+shuffle; ladder table + headline = pooled MEDIAN-of-passes per level (headline = full-width level); graded ratios = median over rounds of WITHIN-ROUND (same weather window) level pairs — no best-of anywhere"}}"""
     )
 
     try {
@@ -261,17 +342,30 @@ object Bench {
            |parquet scan -> salted repartition (full-width xxhash64 key, one
            |shuffle) -> fused parse/chain/engine typed mapPartitions -> agg forcing
            |full text materialization. The ladder runs FIRST (before the per-query
-           |phase) so the graded evidence is never time-budget-starved. One child
-           |JVM per level in ASCENDING core order (start-window noise then
-           |lands on the low level, where it can only overstate the ratio —
-           |a descending-order experiment measured the one sub-0.8 reading),
-           |CPU-pinned with `taskset -c 0-(cores-1)` +
-           |`-XX:ActiveProcessorCount`, heap fixed and pre-touched
-           |(`-Xms=-Xmx=${childHeapGb}g`, ${childHeapGb / 2}g for <=4-core
-           |children — per-core executor sizing), shuffle on tmpfs; each
-           |child runs one untimed warmup pass then $reps
-           |timed passes; best-of per level (plus one bonus single-pass child per
-           |primary level when time remains, sampling a different weather window).
+           |phase) so the graded evidence is never time-budget-starved.
+           |$rounds INTERLEAVED ROUNDS over the ascending ladder — one pinned
+           |child JVM per (round, level) — so every level's passes sample
+           |several distinct host-weather windows: noise cannot
+           |systematically land on one level's window and skew the ratio
+           |(fixed-order protocols measured 0.74-1.25 from window placement
+           |alone; interleaving + medians is the fix, replacing round 2's
+           |deliberately-ascending best-of protocol). Children are CPU-pinned
+           |with `taskset -c 0-(cores-1)` + `-XX:ActiveProcessorCount`, heap
+           |fixed and pre-touched (`-Xms=-Xmx=${childHeapGb}g`,
+           |${childHeapGb / 2}g for <=4-core children — per-core executor
+           |sizing), shuffle on tmpfs; each child runs one untimed warmup
+           |pass then its timed passes ($reps in round 1, 1 in later rounds).
+           |Per level the table reports the pooled MEDIAN pass (upper-middle
+           |on even counts), as one coherent (turns, wall, cpu) tuple; the
+           |headline value is the FULL-WIDTH level's median, not a best-of.
+           |The graded SCALING ratios are medians over rounds of the
+           |WITHIN-ROUND level pairs: host noise is bursty on the scale of
+           |minutes and hits multi-core levels hardest (DRAM-bandwidth
+           |contention), so a ratio of two levels measured in different
+           |windows measures the weather, not the code — within a round the
+           |paired levels run back-to-back. No selection anywhere: every
+           |round contributes exactly once and rounds are fixed up front.
+           |Per-round N->4N efficiencies this run: ${effPrimaryRounds.map(e => f"$e%.3f").mkString(", ")}.
            |Passes recorded: ${levels.map(c => s"local[$c]=" + runsByLevel(c).size).mkString(", ")}.
            |
            || cores | wall (s) | turns/sec | cpu us/turn |
@@ -280,17 +374,30 @@ object Bench {
            || local[$coresN] (4N) | $wallN%.2f | $tputN%.1f | $cpuPerTurnN%.1f |
            || local[$cores4N] (16N) | $wall4N%.2f | $tput4N%.1f | $cpuPerTurn4N%.1f |
            |
-           |Headline throughput = $tputPeak%.0f turns/sec — the peak sustained level
-           |across the ladder (the full-width level is the most weather-exposed on
-           |this shared-DRAM box: its cpu-us/turn swings 30-52 between runs from
-           |host noise alone, so the best measured level is the capability number;
-           |every per-level figure is in the table above and in the JSON).
+           |Headline throughput = $tputHeadline%.0f turns/sec — the FULL-WIDTH
+           |(local[$cores4N]) level's median pass (every per-level figure is in the
+           |table above and in the JSON; the full-width level is the most
+           |weather-exposed on this shared-DRAM box — its cpu-us/turn swings 30-52
+           |between runs from host noise alone — which is exactly why the median
+           |over interleaved rounds, not a best-of, is reported).
            |
            |**Wall-clock scaling efficiency N=$coresLow -> 4N=$coresN** =
-           |($tputN%.1f / $tputLow%.1f) / 4 = **$effPrimary%.3f** (target >= 0.8 per
-           |BASELINE.json; the real-cluster N-vs-4N-executor criterion evidenced by
-           |two parallelism levels on the same input, per the driver's
-           |instructions).
+           |**$effPrimary%.3f** — the median over rounds of the within-round
+           |(same-weather-window) ratios (target >= 0.8 per BASELINE.json; the
+           |real-cluster N-vs-4N-executor criterion evidenced by two parallelism
+           |levels on the same input, per the driver's instructions). Pooled
+           |per-level medians give ($tputN%.1f / $tputLow%.1f) / 4 across windows;
+           |both figures are in the JSON.
+           |
+           |**Same-window kernel ceiling = $kernelCeiling%.3f**: the pure-CPU
+           |extraction kernel (graft.Probe kernelmt — no Spark, no parquet, no
+           |shuffle) run interleaved at the same pinned N/4N core counts in the
+           |same minutes. This is the N->4N efficiency ceiling ANY job can reach
+           |under the current host tenancy: when co-tenants steal cycles/clocks,
+           |even this loop loses scaling (calm windows measure ~1.0). Read the
+           |graded job efficiency RELATIVE to this ceiling to separate "the code
+           |stopped scaling" from "the box stopped scaling" — the gap between
+           |them is the job's own (shuffle + parquet-decode bandwidth) cost.
            |
            |Continuing up the ladder on this single box: $coresN -> $cores4N cores
            |gives wall efficiency $effHigh%.3f with cpu-us/turn rising
