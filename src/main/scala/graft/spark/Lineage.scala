@@ -101,11 +101,7 @@ object Lineage {
       // isin filter below is a partition-pruning predicate on the raw
       // partition column — a resume never scans previously committed
       // buckets' files (the earlier post-read cast defeated pruning).
-      val stats = spark.read.schema(extracted.schema).parquet(dataPath(outDir))
-        .filter(col("bucket").isin(pending: _*))
-        .groupBy("bucket")
-        .agg(count(lit(1)).as("n"),
-          coalesce(sum(col("n_chars_out")), lit(0L)).cast("long").as("c"))
+      val stats = statsQuery(spark, outDir, extracted.schema, pending)
         .collect()
         .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
         .toMap
@@ -121,6 +117,24 @@ object Lineage {
     }
     readLineage(spark, outDir)
   }
+
+  /** The per-bucket stats readback over the committed files — factored out
+    * so the spec can pin its plan: `bucket` is declared long in the explicit
+    * schema, so the isin predicate is a PARTITION filter (a resume scans
+    * only the pending buckets' files, never previously committed ones) and
+    * an all-empty write needs no schema inference.
+    */
+  private[graft] def statsQuery(
+      spark: SparkSession,
+      outDir: String,
+      writeSchema: org.apache.spark.sql.types.StructType,
+      pending: Seq[Long]
+  ): DataFrame =
+    spark.read.schema(writeSchema).parquet(dataPath(outDir))
+      .filter(col("bucket").isin(pending: _*))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("n_chars_out")), lit(0L)).cast("long").as("c"))
 
   def pendingBuckets(spark: SparkSession, outDir: String, numBuckets: Int): Seq[Long] = {
     val done = readLineage(spark, outDir)

@@ -146,6 +146,81 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Lineage.pendingBuckets(spark, out, 4).isEmpty)
   }
 
+  test("plan: lineage stats readback prunes to the pending buckets' partitions") {
+    val t = Transcripts.fromDocuments(spark, sfDir)
+    val out = tmpDir("graft_prune_")
+    Lineage.run(spark, t, out, numBuckets = 8)
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.Encoders.product[ExtractPipeline.Extracted].schema.fields :+
+        org.apache.spark.sql.types.StructField("bucket",
+          org.apache.spark.sql.types.LongType))
+    val q = Lineage.statsQuery(spark, out, schema, Seq(1L, 2L))
+    // sparkPlan (pre-AQE) exposes the raw FileSourceScanExec leaf
+    val scan = q.queryExecution.sparkPlan.collectLeaves().head
+    val s = scan.toString
+    // the isin lands in PartitionFilters (directory pruning), NOT in
+    // PushedFilters/data filters — a resume never rereads committed buckets
+    assert(s.contains("PartitionFilters") &&
+      s.replaceAll("\\s", "").matches("(?s).*PartitionFilters:\\[[^\\]]*bucket.*"),
+      s"bucket filter not a partition filter:\n$s")
+    // and it actually scans only the two pending partitions
+    val files = scan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }
+    assert(files.headOption.contains(2), s"expected 2 partitions selected, got $files")
+  }
+
+  test("streaming: postback sink is idempotent under checkpoint-lost restart") {
+    val base = tmpDir("graft_pbidem_")
+    val in = s"$base/in"
+    Transcripts.fromDocuments(spark, sfDir).coalesce(2)
+      .write.mode("overwrite").parquet(in)
+    StreamPipeline.runPostbackSink(spark, in, s"$base/delivery", s"$base/cp")
+    val once = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$base/delivery")
+      .orderBy("conv_id", "turn_idx").collect().toSeq
+    // simulate the worst restart: the checkpoint is GONE (every batch
+    // replays from scratch) — batchId-scoped overwrites must leave the
+    // delivery table identical, where a plain append would duplicate it
+    val cpDir = java.nio.file.Paths.get(s"$base/cp")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(cpDir).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+    StreamPipeline.runPostbackSink(spark, in, s"$base/delivery", s"$base/cp2")
+    val twice = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$base/delivery")
+      .orderBy("conv_id", "turn_idx").collect().toSeq
+    assert(twice == once, "replayed batches duplicated delivery rows")
+  }
+
+  test("streaming: dedup drops a duplicate arriving in a LATER micro-batch") {
+    import graft.operators.Events
+    val base = tmpDir("graft_sdedup2_")
+    val ev = Events.events(spark, sfDir)
+    // batch 1: the full table (one file); batch 2: a replay of its OLDEST
+    // events (stale-timestamp duplicates — the case a short watermark loses)
+    ev.coalesce(1).write.mode("overwrite").parquet(s"$base/in")
+    ev.orderBy(col("ts")).limit(20).coalesce(1)
+      .write.mode("append").parquet(s"$base/in")
+    val stream = spark.readStream.schema(Events.eventSchema)
+      .option("maxFilesPerTrigger", "1") // force separate micro-batches
+      .parquet(s"$base/in")
+    val q = stream
+      .withWatermark("ts", "3650 days") // the structural full-span horizon
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream
+      .format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val survivors = spark.read.parquet(s"$base/out")
+    assert(survivors.count() == ev.count(), "a late-batch duplicate survived")
+    assert(survivors.select("event_id").distinct().count() == ev.count())
+  }
+
   test("lineage: empty buckets still commit (one-job path, 64 buckets over 50 convs)") {
     val t = Transcripts.fromDocuments(spark, sfDir)
     val out = tmpDir("graft_empty_")
