@@ -12,7 +12,12 @@ import org.apache.spark.sql.functions._
   *   --input  /data/transcripts          \  (parquet dir, or table:NAME for a
   *                                           catalog table — Iceberg when the
   *                                           runtime is on the cluster)
-  *   --output /data/extracted            \
+  *   --output /data/extracted            \  (parquet dir; or
+  *                                           table:DATA[,LINEAGE] to commit
+  *                                           into catalog tables — Iceberg
+  *                                           when the runtime is on the
+  *                                           cluster; bucket is a real
+  *                                           partition column either way)
   *   --buckets 256                       \  (lineage/commit granularity)
   *   --max-buckets 0                     \  (0 = all pending; >0 = partial run)
   *   --parallelism 0                     \  (0 = spark.sql.shuffle.partitions)
@@ -60,22 +65,49 @@ object Main {
     if (parallelism > 0)
       spark.conf.set("spark.sql.shuffle.partitions", parallelism.toString)
 
-    val lineage = Lineage.run(spark, transcripts, output, buckets,
-      if (maxBuckets > 0) maxBuckets else Int.MaxValue)
-
-    val pending = Lineage.pendingBuckets(spark, output, buckets)
+    val maxB = if (maxBuckets > 0) maxBuckets else Int.MaxValue
+    // `--output table:DATA[,LINEAGE]` runs the same exactly-once protocol
+    // against catalog tables (bucket = a real partition column; on an
+    // Iceberg-equipped cluster the catalog makes these Iceberg tables).
+    // Default (path) mode writes parquet dirs.
+    val tableMode = output.startsWith("table:")
+    val (lineage, pending) =
+      if (tableMode) {
+        val parts = output.stripPrefix("table:").split(",")
+        val dataTable = parts(0)
+        val lineageTable =
+          if (parts.length > 1) parts(1) else s"${dataTable}_lineage"
+        val l = Lineage.runTable(spark, transcripts, dataTable, lineageTable,
+          buckets, maxB)
+        val done = l.select("bucket").distinct().collect().map(_.getLong(0)).toSet
+        (l, (0L until buckets.toLong).filterNot(done))
+      } else {
+        val l = Lineage.run(spark, transcripts, output, buckets, maxB)
+        (l, Lineage.pendingBuckets(spark, output, buckets))
+      }
     if (pending.isEmpty) {
       // all buckets committed: publish the aggregated metrics table (O22)
-      val out = Lineage.readOutput(spark, output)
-      out.groupBy(col("status"), col("engine"))
+      val out =
+        if (tableMode) spark.table(output.stripPrefix("table:").split(",")(0))
+        else Lineage.readOutput(spark, output)
+      val metrics = out.groupBy(col("status"), col("engine"))
         .agg(count(lit(1)).as("n_rows"),
           sum(col("n_chars_in")).cast("long").as("chars_in"),
           sum(col("n_chars_out")).cast("long").as("chars_out"))
-        .write.mode("overwrite").parquet(s"$output/_metrics")
-      // + the latency/request-size histogram table (prometheus bucket layout)
       import spark.implicits._
-      ExtractPipeline.histograms(out.as[ExtractPipeline.Extracted])
-        .write.mode("overwrite").parquet(s"$output/_histograms")
+      val histos = ExtractPipeline.histograms(
+        out.select("conv_id", "turn_idx", "text", "status", "engine",
+          "n_chars_in", "n_chars_out").as[ExtractPipeline.Extracted])
+      if (tableMode) {
+        val dataTable = output.stripPrefix("table:").split(",")(0)
+        metrics.write.mode("overwrite").format("parquet")
+          .saveAsTable(s"${dataTable}_metrics")
+        histos.write.mode("overwrite").format("parquet")
+          .saveAsTable(s"${dataTable}_histograms")
+      } else {
+        metrics.write.mode("overwrite").parquet(s"$output/_metrics")
+        histos.write.mode("overwrite").parquet(s"$output/_histograms")
+      }
     }
     val done = lineage.agg(
       count(lit(1)).as("buckets"),
