@@ -322,6 +322,41 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch)
   }
 
+  test("skew: AQE splits a skewed join partition (north-rule skew-join mitigation)") {
+    import spark.implicits._
+    // one scorching key ('hot', 20k long rows) among 200 cold keys — the
+    // hot-bucket shape a dedup-family band join sees on boilerplate text.
+    // With AQE skew-join enabled (Main sets it for the cluster job), the
+    // oversized partition is split at runtime: the executed SMJ is marked
+    // skew=true, with NO manual salting needed on the join itself.
+    val conf = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "100k",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "16k",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") // force a shuffle join
+    val saved = conf.map { case (k, _) => k -> spark.conf.getOption(k) }
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val pad = "x" * 400
+      val left = spark.range(0, 20000)
+        .select(when(col("id") < 19800, "hot").otherwise(concat(lit("k"), col("id") % 200))
+          .as("k"), concat(lit(pad), col("id")).as("payload"))
+      val right = (0 until 200).map(i => s"k$i").toDF("k")
+        .unionByName(Seq("hot").toDF("k"))
+      val joined = left.join(right, Seq("k"))
+      // execute THIS dataframe (count() would spawn a separate query
+      // execution and leave joined's adaptive plan unfinalized)
+      assert(joined.collect().length == 20000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join (expected skew=true):\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("skew: heavy rows of one conversation spread across partitions") {
     import spark.implicits._
     val heavy = "x" * (ExtractPipeline.heavyThreshold + 1)
