@@ -164,11 +164,20 @@ object Dedup {
 
   /** 16-bit SimHash over tokens: bit b set iff the majority of token hashes
     * have bit b set (strict majority; tie -> 0). Token hash = first 4 md5 hex
-    * chars as int.
+    * chars as int. Routed through the native one-pass
+    * [[graft.spark.SimHash16]] expression — the HOF form ran one md5
+    * `transform` plus SIXTEEN interpreted `filter` traversals of the
+    * token-hash array per document. Bit-identical (pinned by a parity spec
+    * against [[simhashHof]] and by the unchanged DuckDB twin).
     */
   val simhashBits = 16
 
-  def simhash(doc: DataFrame): DataFrame = {
+  def simhash(doc: DataFrame): DataFrame =
+    doc.select(col("doc_id"),
+      graft.spark.HashFunctions.simHash16(col("text")).as("simhash"))
+
+  /** The interpreted HOF twin of [[simhash]] — kept for the parity spec. */
+  def simhashHof(doc: DataFrame): DataFrame = {
     val withHashes = doc.select(col("doc_id"),
       expr("transform(split(text, ' '), t -> CAST(conv(substring(md5(t), 1, 4), 16, 10) AS INT))")
         .as("hs"))
@@ -228,19 +237,20 @@ object Dedup {
     val bands = array((0 until simhashBandCount).map(b =>
       simhashRotBlock(col("simhash"), b)): _*)
     sig
-      .select(col("doc_id"), col("simhash"),
+      .select(col("doc_id"), col("simhash").cast("int").as("simhash"),
         posexplode(bands).as(Seq("band_idx", "band_val")))
       .groupBy("band_idx", "band_val")
       .agg(array_sort(collect_list(struct(col("doc_id"), col("simhash")))).as("ms"))
       .filter(size(col("ms")) > 1 && size(col("ms")) <= simhashMaxBlock)
-      .select(explode(expr(
-        """flatten(transform(ms, (x, i) ->
-          |  transform(slice(ms, i + 2, size(ms)), y ->
-          |    named_struct('a_id', x.doc_id, 'b_id', y.doc_id,
-          |      'hamming', CAST(bit_count(x.simhash ^ y.simhash) AS INT)))))""".stripMargin)).as("p"))
+      // in-block quadratic comparison via the native one-pass
+      // [[graft.spark.SimHashPairs]] kernel: only pairs within maxHamming
+      // are ever materialized (the HOF form built EVERY in-block pair as an
+      // interpreted struct before the filter — blocks cluster to ~700 docs
+      // on natural-language signatures, so that was millions of structs)
+      .select(explode(
+        graft.spark.HashFunctions.simHashPairs(col("ms"), maxHamming)).as("p"))
       .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"),
         col("p.hamming").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
       .distinct()
   }
 

@@ -195,6 +195,152 @@ case class RollingHash(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Static kernel for [[SimHash16]]. */
+object SimHashKernel {
+
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 16-bit SimHash over single-space tokens in ONE pass. Token hash = the
+    * first 16 bits of md5(token) big-endian (== `CAST(conv(substring(
+    * md5(t), 1, 4), 16, 10) AS INT)`); signature bit b is set iff a STRICT
+    * majority of token hashes have bit b set (tie -> 0). Bit-identical to
+    * the HOF form (16 interpreted `size(filter(hs, h -> (h >> b) & 1 = 1))`
+    * passes per row — the hot loop this kernel replaces) and to the DuckDB
+    * twin; split keeps trailing empties (`split(" ", -1)` == Spark
+    * `split(text, ' ')`), so an empty text hashes the one empty token,
+    * exactly like the SQL.
+    */
+  def simhash16(text: org.apache.spark.unsafe.types.UTF8String): Int = {
+    val toks = text.toString.split(" ", -1)
+    val n = toks.length
+    val counts = new Array[Int](16)
+    val digestFn = md5.get()
+    var i = 0
+    while (i < n) {
+      digestFn.reset()
+      val digest = digestFn.digest(toks(i).getBytes("UTF-8"))
+      val h = ((digest(0) & 0xff) << 8) | (digest(1) & 0xff)
+      var b = 0
+      while (b < 16) {
+        counts(b) += (h >> b) & 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0
+    var b = 0
+    while (b < 16) {
+      if (counts(b) * 2 > n) sig |= 1 << b
+      b += 1
+    }
+    sig
+  }
+}
+
+/** Native codegen'd 16-bit SimHash signature (see
+  * [[SimHashKernel.simhash16]]) — fourth member of the one-pass kernel set
+  * ([[Shingles3]], [[MinHash16]], [[RollingHash]]); collapses the
+  * per-document signature from one md5-HOF plus sixteen interpreted filter
+  * traversals to a single pass.
+  */
+case class SimHash16(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash16 expects string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override protected def nullSafeEval(t: Any): Any =
+    SimHashKernel.simhash16(t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.SimHashKernel.simhash16($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Static kernel for [[SimHashPairs]]. */
+object SimHashPairsKernel {
+  /** All (a_id, b_id, hamming) pairs within one block whose hamming
+    * distance is <= maxHamming, in one primitive pass over the sorted
+    * (doc_id, simhash) struct array. Replaces the interpreted
+    * nested-`transform` pair builder, which materialized EVERY in-block
+    * pair as an interpreted struct (quadratic, ~1.5 us each) before the
+    * hamming filter could drop it — only qualifying pairs are ever built
+    * here. Same pair set as `filter(flatten(transform(...)), hamming <=
+    * max)`; order within the array is (a index, b index) ascending, which
+    * the downstream `distinct` makes irrelevant.
+    */
+  def pairs(ms: ArrayData, maxHamming: Int): ArrayData = {
+    val n = ms.numElements()
+    val ids = new Array[Long](n)
+    val sigs = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val r = ms.getStruct(i, 2)
+      ids(i) = r.getLong(0)
+      sigs(i) = r.getInt(1)
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var a = 0
+    while (a < n) {
+      var b = a + 1
+      while (b < n) {
+        val h = Integer.bitCount(sigs(a) ^ sigs(b))
+        if (h <= maxHamming)
+          out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](ids(a), ids(b), h))
+        b += 1
+      }
+      a += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** Native codegen'd in-block SimHash pairing (see
+  * [[SimHashPairsKernel.pairs]]) — fifth one-pass kernel; the quadratic
+  * block comparison is the dedup family's hottest loop once blocks cluster
+  * (natural-language signatures concentrate: 6k docs put ~700 in one
+  * rotation window at sf0.1).
+  */
+case class SimHashPairs(child: Expression, maxHamming: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(s: org.apache.spark.sql.types.StructType, _)
+        if s.length == 2 && s(0).dataType == LongType &&
+          s(1).dataType == org.apache.spark.sql.types.IntegerType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash_pairs expects array<struct<long,int>>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a_id", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("b_id", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("hamming",
+        org.apache.spark.sql.types.IntegerType, nullable = false))),
+    containsNull = false)
+
+  override protected def nullSafeEval(ms: Any): Any =
+    SimHashPairsKernel.pairs(ms.asInstanceOf[ArrayData], maxHamming)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.SimHashPairsKernel.pairs($c, $maxHamming)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** DataFrame-DSL access. */
 object HashFunctions {
   def minHash16(grams: Column): Column =
@@ -205,4 +351,10 @@ object HashFunctions {
 
   def rollingHash(text: Column): Column =
     GraftColumnBridge.column(RollingHash(GraftColumnBridge.expression(text)))
+
+  def simHash16(text: Column): Column =
+    GraftColumnBridge.column(SimHash16(GraftColumnBridge.expression(text)))
+
+  def simHashPairs(ms: Column, maxHamming: Int): Column =
+    GraftColumnBridge.column(SimHashPairs(GraftColumnBridge.expression(ms), maxHamming))
 }

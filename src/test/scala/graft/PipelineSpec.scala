@@ -533,6 +533,22 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mismatches == 0, "native minhash16 diverged from the md5-SQL form")
   }
 
+  test("simhash16: native signature is bit-identical to the md5-HOF form") {
+    import spark.implicits._
+    val corpus = Transcripts.documents(spark, sfDir)
+    val native = Dedup.simhash(corpus).orderBy("doc_id").collect().toSeq
+    val hof = Dedup.simhashHof(corpus).orderBy("doc_id").collect().toSeq
+    assert(native == hof, "native simhash16 diverged from the HOF form")
+    // edge cases: empty text (one empty token), single token, non-ASCII
+    val edge = Seq("", "one", "a b a b", "héllo wörld").toDF("text")
+      .withColumn("doc_id", monotonically_increasing_id())
+    assert(Dedup.simhash(edge).orderBy("doc_id").collect().toSeq ==
+      Dedup.simhashHof(edge).orderBy("doc_id").collect().toSeq)
+    // participates in whole-stage codegen
+    val plan = Dedup.simhash(corpus).queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"no codegen stage in:\n$plan")
+  }
+
   test("dedup: simhash pairs find every injected exact-dup at hamming 0") {
     val doc = Transcripts.documents(spark, sfDir)
     val exact = Dedup.simhashPairs(doc)
