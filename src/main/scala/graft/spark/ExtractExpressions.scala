@@ -114,7 +114,24 @@ object GraftExtensions {
     }
   )
 
-  val functions = Seq(fn("extract_text", "text"), fn("extract_status", "status"), vecDotFn)
+  /** One-arg native kernels, SQL-registered so the whole kernel set is
+    * reachable from pure SQL (not just the DataFrame DSL).
+    */
+  private def unaryFn(name: String, cls: Class[_], build: Expression => Expression) = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(cls.getName, name),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, s"$name(x) takes 1 argument")
+      build(children(0))
+    }
+  )
+
+  val functions = Seq(
+    fn("extract_text", "text"), fn("extract_status", "status"), vecDotFn,
+    unaryFn("shingles3", classOf[Shingles3], Shingles3),
+    unaryFn("minhash16", classOf[MinHash16], MinHash16),
+    unaryFn("rolling_hash", classOf[RollingHash], RollingHash),
+    unaryFn("simhash16", classOf[SimHash16], SimHash16))
 
   /** Imperative registration on an already-built session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -549,6 +549,23 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("*("), s"no codegen stage in:\n$plan")
   }
 
+  test("sql: the whole native-kernel set is reachable from pure SQL") {
+    graft.spark.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT shingles3('a b c d') AS sh,
+        |       minhash16(shingles3('a b c d')) AS mh,
+        |       rolling_hash('abc') AS rh,
+        |       simhash16('a b c') AS si,
+        |       vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS vd""".stripMargin)
+      .collect()(0)
+    assert(r.getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(r.getSeq[Long](1).length == 16)
+    // rolling_hash('abc') = ((97*31+98)*31+99) mod (2^31-1)
+    assert(r.getLong(2) == ((97L * 31 + 98) * 31 + 99) % 2147483647L)
+    assert(r.getInt(3) == spark.sql("SELECT simhash16('a b c') s").collect()(0).getInt(0))
+    assert(r.getDouble(4) == 11.0)
+  }
+
   test("dedup: simhash pairs find every injected exact-dup at hamming 0") {
     val doc = Transcripts.documents(spark, sfDir)
     val exact = Dedup.simhashPairs(doc)
