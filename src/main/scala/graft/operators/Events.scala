@@ -29,6 +29,23 @@ object Events {
   def events(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/events.parquet")
 
+  /** State-store shard count for the STATEFUL streaming runs. Spark creates
+    * one state store (directory of delta/commit files per micro-batch) per
+    * shuffle partition: shards must be sized to STATE, not to input — these
+    * harness queries hold a few thousand windows/keys, where 32 shards'
+    * per-batch file commits dominate wall time (measured 2x: windowed
+    * 3.2 -> 1.7 s, dedup 3.3 -> 1.3 s at 8 shards). At 10^12-event scale
+    * the same knob goes UP with state size; the point is that it is an
+    * explicit, state-sized choice, scoped to the stream run.
+    */
+  val stateShards = 8
+
+  private def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Hourly event-time windows per event_type under a 10-minute watermark. */
   def windowedCounts(stream: DataFrame): DataFrame =
     stream
@@ -49,13 +66,15 @@ object Events {
     val out = s"$base/out"; val cp = s"$base/cp"
     val in = graft.spark.Staged.events(spark, sfDir) // staged once per process
     val stream = spark.readStream.schema(eventSchema).parquet(in)
-    val q = windowedCounts(stream).writeStream
-      .format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", cp)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withShufflePartitions(spark, stateShards) {
+      val q = windowedCounts(stream).writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(out)
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("hour_start"),
@@ -85,16 +104,18 @@ object Events {
     val out = s"$base/out"; val cp = s"$base/cp"
     val in = graft.spark.Staged.eventsWithDups(spark, sfDir)
     val stream = spark.readStream.schema(eventSchema).parquet(in)
-    val q = stream
-      .withWatermark("ts", "3650 days") // >= the table's event-time span
-      .dropDuplicatesWithinWatermark("event_id")
-      .writeStream
-      .format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", cp)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withShufflePartitions(spark, stateShards) {
+      val q = stream
+        .withWatermark("ts", "3650 days") // >= the table's event-time span
+        .dropDuplicatesWithinWatermark("event_id")
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(out)
       .groupBy("event_type")
       .agg(count(lit(1)).cast("long").as("n_events"),
