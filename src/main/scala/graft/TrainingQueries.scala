@@ -90,6 +90,11 @@ object TrainingQueries {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(Transcripts.documents(s, dir)).orderBy("doc_id")),
 
+    // STREAMING near-dup: one survivor per minhash band-0 bucket
+    // (dropDuplicatesWithinWatermark over a stream of the dup-injected
+    // corpus; survivors == distinct buckets is SQL-expressible)
+    "dedup_minhash_stream" -> ((s, dir) => Dedup.runStreamingNearDup(s, dir)),
+
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(Transcripts.documents(s, dir)).orderBy("a_id", "b_id")),
 
@@ -299,6 +304,19 @@ object TrainingQueries {
          |  FROM documents)
          |SELECT doc_id, CAST($bitTerms AS INTEGER) AS simhash
          |FROM h ORDER BY doc_id""".stripMargin
+    },
+
+    "dedup_minhash_stream" -> {
+      val band0 = s"md5(${(0 until Dedup.minhashRowsPerBand).map(duckMinhash).mkString(" || '_' || ")})"
+      s"""WITH base AS $duckDupBase,
+         |g AS (
+         |  SELECT doc_id, $duckShingles AS grams
+         |  FROM base WHERE len(string_split(text, ' ')) >= 3),
+         |h AS (SELECT doc_id, $duckHcat AS hcat FROM g),
+         |sig AS (SELECT doc_id, $band0 AS band0 FROM h)
+         |SELECT CAST(count(DISTINCT band0) AS BIGINT) AS n_survivors,
+         |       CAST(count(DISTINCT band0) AS BIGINT) AS n_buckets
+         |FROM sig""".stripMargin
     },
 
     "dedup_simhash_pairs" -> {

@@ -139,6 +139,56 @@ object Dedup {
       .distinct()
   }
 
+  /** STREAMING near-dup: one survivor per MinHash band-0 bucket via
+    * `dropDuplicatesWithinWatermark` — the streaming member of the NEAR-dup
+    * family (the exact-dup streaming member keys on event_id;
+    * [[graft.operators.Events.runStreamingDedup]]). The signature is a
+    * stateless narrow map (the native `shingles3`/`minhash16` kernels run
+    * unchanged inside Structured Streaming), so the only state is one key
+    * per band bucket inside the watermark horizon — the bounded-state shape
+    * a 10^12-doc stream needs; a single band is the coarse
+    * high-recall-low-precision first stage, with the verify stage running
+    * as the batch [[minhashJaccard]] over the survivors downstream.
+    * Deterministic aggregate outputs (survivors == distinct band-0 buckets)
+    * keep the full SQL oracle; the harness watermark covers the corpus span
+    * (single-file input = one micro-batch) so the equality is structural.
+    */
+  def runStreamingNearDup(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val base = graft.spark.TmpDirs.create("graft_sneardup_")
+    val out = s"$base/out"; val cp = s"$base/cp"
+    val in = graft.spark.Staged.docsWithDups(spark, sfDir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("ts", TimestampType)))
+    val stream = spark.readStream.schema(schema).parquet(in)
+    val sig = stream
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), col("ts"),
+        graft.spark.HashFunctions.minHash16(shingles(col("text"))).as("mh"))
+      .withColumn("band0", md5(concat_ws("_",
+        (0 until minhashRowsPerBand)
+          .map(r => element_at(col("mh"), r + 1).cast("string")): _*)))
+      .select(col("doc_id"), col("ts"), col("band0"))
+    Events.withShufflePartitions(spark, Events.stateShards) {
+      val q = sig
+        .withWatermark("ts", "3650 days")
+        .dropDuplicatesWithinWatermark("band0")
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(out).agg(
+      count(lit(1)).cast("long").as("n_survivors"),
+      countDistinct(col("band0")).cast("long").as("n_buckets"))
+  }
+
   /** The canonical two-stage MinHash pipeline: candidate pairs from the LSH
     * bands ([[minhashBands]]) VERIFIED by exact shingle Jaccard — the scale
     * answer to "n-gram Jaccard can't run all-pairs": the quadratic

@@ -40,7 +40,7 @@ object Events {
     */
   val stateShards = 8
 
-  private def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+  private[operators] def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", n.toString)
     try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)

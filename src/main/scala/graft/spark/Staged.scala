@@ -47,4 +47,19 @@ object Staged {
         .write.mode("overwrite").parquet(p)
       p
     })
+
+  /** The dup-injected documents corpus with a deterministic event-time
+    * column (the streaming-NEAR-dup input), staged once per sfDir. ONE file
+    * for the same single-micro-batch guarantee as [[eventsWithDups]].
+    */
+  def docsWithDups(spark: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(s"docsDups:$sfDir", {
+      val p = TmpDirs.create("graft_staged_dd_")
+      graft.operators.Dedup
+        .withInjectedDups(Transcripts.documents(spark, sfDir))
+        .withColumn("ts", (lit(1767225600L) + col("doc_id")).cast("timestamp"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
 }
