@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked-run stdout through UNPREFIXED: sbt's default logger prepends
+// "[info] " to every line, which breaks machine parsing of graft.Bench's
+// single JSON output line (the driver's BENCH_r0{1,2}.json both show
+// "parsed": null with the line present-but-prefixed in "tail").
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
