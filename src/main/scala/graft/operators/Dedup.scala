@@ -4,20 +4,22 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact (hash-groupBy),
-  * word-n-gram Jaccard, MinHash+LSH banding, SimHash, and embedding-cosine
-  * near-dup. Scale notes per operator:
+  * word-n-gram Jaccard, MinHash+LSH banding (batch + streaming), SimHash,
+  * and embedding-cosine near-dup. Scale notes per operator:
   *
   *   - exact: one hash-shuffle on md5(text); map-side partial agg applies.
   *   - jaccard: NEVER all-pairs at scale — candidates come from LSH bands
-  *     ([[minhashBands]]); the windowed variant here is the correctness
-  *     harness.
-  *   - minhash: signature is a narrow map; the band bucket-join replaces the
-  *     O(n^2) comparison with equi-joins on band keys (shuffle on band key,
-  *     AQE handles hot buckets).
-  *   - simhash: narrow map to a 16-bit signature; pairing via banded
-  *     OR-of-rotations blocking (equi-join keys, degenerate-block cap).
-  *   - embedding: windowed-pair harness here; the scale path is
-  *     [[Similarity.lshBuckets]] + within-bucket pairing.
+  *     ([[minhashBands]], verified by [[minhashJaccard]]); the ±2-window
+  *     variant here is the correctness harness, itself an equi-join.
+  *   - minhash: signature is a narrow map (native `shingles3`/`minhash16`
+  *     kernels); the band bucket explode+groupBy replaces the O(n^2)
+  *     comparison with ONE shuffle on band keys (degenerate-bucket cap, AQE
+  *     for hot keys); [[runStreamingNearDup]] is the streaming member.
+  *   - simhash: narrow map to a 16-bit signature (native `simhash16`);
+  *     pairing via banded OR-of-rotations blocking with in-block pairs from
+  *     the native `SimHashPairs` kernel (equi-join keys, block cap).
+  *   - embedding: content-derived banded hyperplane LSH ([[nearDupPairs]]),
+  *     one equi-join on (band_idx, band_val).
   *
   * All variants are pure Catalyst expressions, each with a DuckDB-SQL twin.
   */
