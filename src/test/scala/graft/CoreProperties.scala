@@ -43,6 +43,31 @@ object CoreProperties extends Properties("core") {
   property("decodeEntities is identity without ampersands") =
     forAll(textGen.map(_.filter(_ != '&'))) { s => Html.decodeEntities(s) == s }
 
+  private def utf8(s: String) =
+    org.apache.spark.unsafe.types.UTF8String.fromString(s)
+
+  property("rollingHash kernel equals the code-point fold for arbitrary text") =
+    forAll(textGen) { s =>
+      val ref = s.codePoints().toArray
+        .foldLeft(0L)((h, cp) => (h * 31L + cp) % 2147483647L)
+      graft.spark.RollingHashKernel.rollingHash(utf8(s)) == ref
+    }
+
+  property("simhash16 kernel equals the per-token majority-bit definition") =
+    forAll(textGen) { s =>
+      val toks = s.split(" ", -1)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hs = toks.map { t =>
+        md.reset()
+        val d = md.digest(t.getBytes("UTF-8"))
+        ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+      }
+      val ref = (0 until 16).map { b =>
+        if (hs.count(h => ((h >> b) & 1) == 1) * 2 > hs.length) 1 << b else 0
+      }.sum
+      graft.spark.SimHashKernel.simhash16(utf8(s)) == ref
+    }
+
   property("detectFileType classifies by exact magic") =
     forAll(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) { bs =>
       val a = bs.toArray
