@@ -98,26 +98,16 @@ object Bench {
     } finally spark.stop()
   }
 
-  /** Spawn one pinned child JVM running `reps` timed passes; returns one
-    * (turns, wallSec, cpuSec) per pass.
+  /** Spawn one JVM pinned to cores 0..cores-1 (taskset when available, plus
+    * ActiveProcessorCount) and return its full stdout+stderr. Shared by the
+    * measurement children and the kernel weather gauge so the pinning /
+    * stream-drain recipe exists exactly once.
     */
-  private def runChild(cores: Int, parts: Int, sfDir: String, corpusDir: String, reps: Int): Seq[(Long, Double, Double)] = {
+  private def spawnPinned(cores: Int, jvmArgs: Seq[String], mainArgs: Seq[String]): String = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val cp = System.getProperty("java.class.path")
-    // fixed PRE-TOUCHED heap: lazy page-faulting (even with Xms=Xmx) is
-    // catastrophic on this VM — 8-core runs degraded 5-10x without pretouch.
-    // Heap scales with core count like per-executor memory on a real
-    // cluster: a <=4-core child runs few concurrent tasks (needs half the
-    // heap) and pretouching 8 GiB at 2 pinned cores in a noisy window was
-    // a measurable chunk of that child's multi-minute setup.
-    val heapGb = if (cores <= 4) childHeapGb / 2 else childHeapGb
-    val base = Seq(javaBin, "-cp", cp,
-      s"-Xms${heapGb}g", s"-Xmx${heapGb}g", "-XX:+AlwaysPreTouch",
-      s"-XX:ActiveProcessorCount=$cores",
-      "-Dspark.local.dir=" + shuffleDir(),
-      "-Dspark.ui.enabled=false") ++ addOpens ++
-      Seq("graft.Bench", "--child", cores.toString, parts.toString, sfDir,
-        corpusDir, reps.toString)
+    val base = Seq(javaBin, "-cp", cp, s"-XX:ActiveProcessorCount=$cores") ++
+      jvmArgs ++ mainArgs
     val cmd =
       if (new java.io.File("/usr/bin/taskset").exists())
         Seq("/usr/bin/taskset", "-c", s"0-${cores - 1}") ++ base
@@ -128,6 +118,26 @@ object Bench {
     val out = new String(proc.getInputStream.readAllBytes(),
       java.nio.charset.StandardCharsets.UTF_8)
     proc.waitFor()
+    out
+  }
+
+  /** Spawn one pinned child JVM running `reps` timed passes; returns one
+    * (turns, wallSec, cpuSec) per pass.
+    */
+  private def runChild(cores: Int, parts: Int, sfDir: String, corpusDir: String, reps: Int): Seq[(Long, Double, Double)] = {
+    // fixed PRE-TOUCHED heap: lazy page-faulting (even with Xms=Xmx) is
+    // catastrophic on this VM — 8-core runs degraded 5-10x without pretouch.
+    // Heap scales with core count like per-executor memory on a real
+    // cluster: a <=4-core child runs few concurrent tasks (needs half the
+    // heap) and pretouching 8 GiB at 2 pinned cores in a noisy window was
+    // a measurable chunk of that child's multi-minute setup.
+    val heapGb = if (cores <= 4) childHeapGb / 2 else childHeapGb
+    val out = spawnPinned(cores,
+      Seq(s"-Xms${heapGb}g", s"-Xmx${heapGb}g", "-XX:+AlwaysPreTouch",
+        "-Dspark.local.dir=" + shuffleDir(),
+        "-Dspark.ui.enabled=false") ++ addOpens,
+      Seq("graft.Bench", "--child", cores.toString, parts.toString, sfDir,
+        corpusDir, reps.toString))
     out.linesIterator.collect {
       case l if l.startsWith("GRAFT_CHILD ") =>
         val p = l.split(" ")
@@ -253,6 +263,11 @@ object Bench {
     def medianD(xs: Vector[Double]) = { val s = xs.sorted; s(s.size / 2) }
     val pairsPrimary = roundRatios(coresLow, coresN)
     val pairsHigh = roundRatios(coresN, cores4N)
+    // the pooled guard above doesn't imply paired coverage: a level can have
+    // all its passes in rounds where its pair partner got none
+    if (pairsPrimary.isEmpty || pairsHigh.isEmpty)
+      sys.error("bench aborted: no round has passes for both levels of a " +
+        "graded pair (refusing to emit NaN — inspect the child JVM output above)")
     val effPrimaryRounds = pairsPrimary.map(_._1)
     val consPrimaryRounds = pairsPrimary.map(_._2)
     mark("ladder done")
@@ -264,27 +279,13 @@ object Bench {
     // steal cycles/clocks, even this loop loses scaling (measured 0.73-0.79
     // in noisy windows vs ~1.0 calm), so kernel_ceiling separates
     // "the code stopped scaling" from "the box stopped scaling".
-    def kernelTput(threads: Int): Double = {
-      val javaBin = System.getProperty("java.home") + "/bin/java"
-      val cp = System.getProperty("java.class.path")
-      val base = Seq(javaBin, "-cp", cp, "-Xms2g", "-Xmx2g",
-        s"-XX:ActiveProcessorCount=$threads") ++ addOpens ++
-        Seq("graft.Probe", "kernelmt", threads.toString, "2000000")
-      val cmd =
-        if (new java.io.File("/usr/bin/taskset").exists())
-          Seq("/usr/bin/taskset", "-c", s"0-${threads - 1}") ++ base
-        else base
-      val pb = new ProcessBuilder(cmd: _*)
-      pb.redirectErrorStream(true)
-      val proc = pb.start()
-      val out = new String(proc.getInputStream.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8)
-      proc.waitFor()
-      out.linesIterator.collectFirst {
-        case l if l.contains("turns/sec") =>
-          l.split("= ")(1).split(" ")(0).toDouble
-      }.getOrElse(Double.NaN)
-    }
+    def kernelTput(threads: Int): Double =
+      spawnPinned(threads, Seq("-Xms2g", "-Xmx2g") ++ addOpens,
+        Seq("graft.Probe", "kernelmt", threads.toString, "2000000"))
+        .linesIterator.collectFirst {
+          case l if l.contains("turns/sec") =>
+            l.split("= ")(1).split(" ")(0).toDouble
+        }.getOrElse(Double.NaN)
     val kSamples = Vector(coresLow, coresN, coresLow, coresN).map(c => c -> kernelTput(c))
     val kLow = kSamples.collect { case (c, v) if c == coresLow && !v.isNaN => v }
     val kN = kSamples.collect { case (c, v) if c == coresN && !v.isNaN => v }

@@ -70,26 +70,28 @@ object Main {
     // against catalog tables (bucket = a real partition column; on an
     // Iceberg-equipped cluster the catalog makes these Iceberg tables).
     // Default (path) mode writes parquet dirs.
-    val tableMode = output.startsWith("table:")
-    val (lineage, pending) =
-      if (tableMode) {
-        val parts = output.stripPrefix("table:").split(",")
-        val dataTable = parts(0)
-        val lineageTable =
-          if (parts.length > 1) parts(1) else s"${dataTable}_lineage"
+    val tables: Option[(String, String)] =
+      if (!output.startsWith("table:")) None
+      else output.stripPrefix("table:").split(",") match {
+        case Array(data) => Some((data, s"${data}_lineage"))
+        case Array(data, lineage, _*) => Some((data, lineage))
+      }
+    val (lineage, pending) = tables match {
+      case Some((dataTable, lineageTable)) =>
         val l = Lineage.runTable(spark, transcripts, dataTable, lineageTable,
           buckets, maxB)
         val done = l.select("bucket").distinct().collect().map(_.getLong(0)).toSet
         (l, (0L until buckets.toLong).filterNot(done))
-      } else {
+      case None =>
         val l = Lineage.run(spark, transcripts, output, buckets, maxB)
         (l, Lineage.pendingBuckets(spark, output, buckets))
-      }
+    }
     if (pending.isEmpty) {
       // all buckets committed: publish the aggregated metrics table (O22)
-      val out =
-        if (tableMode) spark.table(output.stripPrefix("table:").split(",")(0))
-        else Lineage.readOutput(spark, output)
+      val out = tables match {
+        case Some((dataTable, _)) => spark.table(dataTable)
+        case None => Lineage.readOutput(spark, output)
+      }
       val metrics = out.groupBy(col("status"), col("engine"))
         .agg(count(lit(1)).as("n_rows"),
           sum(col("n_chars_in")).cast("long").as("chars_in"),
@@ -98,15 +100,15 @@ object Main {
       val histos = ExtractPipeline.histograms(
         out.select("conv_id", "turn_idx", "text", "status", "engine",
           "n_chars_in", "n_chars_out").as[ExtractPipeline.Extracted])
-      if (tableMode) {
-        val dataTable = output.stripPrefix("table:").split(",")(0)
-        metrics.write.mode("overwrite").format("parquet")
-          .saveAsTable(s"${dataTable}_metrics")
-        histos.write.mode("overwrite").format("parquet")
-          .saveAsTable(s"${dataTable}_histograms")
-      } else {
-        metrics.write.mode("overwrite").parquet(s"$output/_metrics")
-        histos.write.mode("overwrite").parquet(s"$output/_histograms")
+      tables match {
+        case Some((dataTable, _)) =>
+          metrics.write.mode("overwrite").format("parquet")
+            .saveAsTable(s"${dataTable}_metrics")
+          histos.write.mode("overwrite").format("parquet")
+            .saveAsTable(s"${dataTable}_histograms")
+        case None =>
+          metrics.write.mode("overwrite").parquet(s"$output/_metrics")
+          histos.write.mode("overwrite").parquet(s"$output/_histograms")
       }
     }
     val done = lineage.agg(

@@ -263,9 +263,16 @@ object Dedup {
   }
 
   /** Degenerate-block guard (the [[minhashMaxBucket]] pattern): a rotation
-    * block larger than this is boilerplate-grade and would pair
-    * quadratically; never reached at test scale, so the DuckDB twin needs no
-    * cap branch — a 100 TB safety bound, not a silent result truncation.
+    * block larger than this is DROPPED WHOLE — at that size the block key
+    * carries no discriminating signal (a 16-bit signature window shared by
+    * >10k documents is boilerplate/templating, and its quadratic pairing is
+    * both unaffordable and a near-useless dup signal), which is the
+    * standard production choice; pairs inside such a block — including any
+    * exact dups — are intentionally not reported by THIS operator (the
+    * exact-dup operator catches them by content hash). Never reached at
+    * test scale (largest observed block ~700 at sf0.1), so the DuckDB twin
+    * needs no cap branch; a corpus large enough to hit it would need the
+    * oracle twin to grow the same cap.
     */
   val simhashMaxBlock = 10000
 

@@ -35,23 +35,29 @@ object Lineage {
   def lineagePath(outDir: String) = s"$outDir/_lineage"
   def dataPath(outDir: String) = s"$outDir/data"
 
+  val lineageSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_buckets", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_rows", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("chars_out", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("status", org.apache.spark.sql.types.StringType)))
+
   private def emptyLineage(spark: SparkSession): DataFrame =
     spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("n_buckets", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("n_rows", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("chars_out", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("status", org.apache.spark.sql.types.StringType))))
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], lineageSchema)
 
-  /** Committed lineage, or the empty table iff the lineage path does not
-    * exist yet (first run). ONLY path-not-found is treated as "no lineage":
-    * a corrupt or unreadable lineage table must fail loudly — swallowing it
-    * would silently reprocess every bucket over partial output.
+  /** Committed lineage; the empty table iff the lineage path does not exist
+    * yet (first run) or exists with no data files (a crash between the
+    * committer creating the dir and the first append becoming visible —
+    * safe to treat as "nothing committed" because data writes are
+    * idempotent dynamic overwrites). The EXPLICIT schema means no schema
+    * inference ever runs; a CORRUPT lineage file still fails loudly at scan
+    * time (every caller immediately reads the table) — swallowing it would
+    * silently reprocess every bucket over partial output.
     */
   def readLineage(spark: SparkSession, outDir: String): DataFrame =
-    try spark.read.parquet(lineagePath(outDir))
+    try spark.read.schema(lineageSchema).parquet(lineagePath(outDir))
     catch {
       case e: org.apache.spark.sql.AnalysisException
           if Option(e.getCondition).contains("PATH_NOT_FOUND") =>

@@ -124,6 +124,19 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("lineage: _lineage dir with no data files reads as empty (mid-commit crash)") {
+    // a crash between the committer creating the dir and the first append
+    // becoming visible must NOT brick resume: explicit-schema read treats
+    // the fileless dir as "nothing committed" (data writes are idempotent)
+    val out = tmpDir("graft_filelesslin_")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(Lineage.lineagePath(out)))
+    assert(Lineage.readLineage(spark, out).count() == 0)
+    val t = Transcripts.fromDocuments(spark, sfDir)
+    Lineage.run(spark, t, out, numBuckets = 4)
+    assert(Lineage.pendingBuckets(spark, out, 4).isEmpty)
+  }
+
   test("lineage: corrupt lineage table fails loudly instead of reprocessing") {
     val out = tmpDir("graft_corrupt_")
     val linDir = java.nio.file.Paths.get(Lineage.lineagePath(out))
@@ -180,13 +193,10 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val once = spark.read.option("recursiveFileLookup", "true")
       .parquet(s"$base/delivery")
       .orderBy("conv_id", "turn_idx").collect().toSeq
-    // simulate the worst restart: the checkpoint is GONE (every batch
-    // replays from scratch) — batchId-scoped overwrites must leave the
-    // delivery table identical, where a plain append would duplicate it
-    val cpDir = java.nio.file.Paths.get(s"$base/cp")
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(cpDir).iterator().asScala.toSeq.reverse
-      .foreach(java.nio.file.Files.deleteIfExists(_))
+    // simulate the worst restart: a FRESH checkpoint replays every batch
+    // from scratch against the same delivery dir — batchId-scoped
+    // overwrites must leave the table identical, where a plain append
+    // would duplicate every row
     StreamPipeline.runPostbackSink(spark, in, s"$base/delivery", s"$base/cp2")
     val twice = spark.read.option("recursiveFileLookup", "true")
       .parquet(s"$base/delivery")
