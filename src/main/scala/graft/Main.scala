@@ -21,6 +21,12 @@ import org.apache.spark.sql.functions._
   *   --buckets 256                       \  (lineage/commit granularity)
   *   --max-buckets 0                     \  (0 = all pending; >0 = partial run)
   *   --parallelism 0                     \  (0 = spark.sql.shuffle.partitions)
+  *   --distribution salted               \  (or heavy-only: light rows are
+  *                                           mapped in place on their scan
+  *                                           splits and only the skew-heavy
+  *                                           payload tail is repartitioned —
+  *                                           the 100 TB-optimal variant; see
+  *                                           ExtractPipeline.extract)
   * }}}
   *
   * Rerunning with the same --output resumes: completed buckets are skipped
@@ -42,6 +48,9 @@ object Main {
     val buckets = opts.getOrElse("buckets", "256").toInt
     val maxBuckets = opts.getOrElse("max-buckets", "0").toInt
     val parallelism = opts.getOrElse("parallelism", "0").toInt
+    val distribution = opts.getOrElse("distribution", "salted")
+    require(Set("salted", "heavy-only")(distribution),
+      s"--distribution must be salted or heavy-only (got $distribution)")
 
     val builder = SparkSession.builder().appName("graft-extract")
       .config("spark.sql.adaptive.enabled", "true")
@@ -79,11 +88,11 @@ object Main {
     val (lineage, pending) = tables match {
       case Some((dataTable, lineageTable)) =>
         val l = Lineage.runTable(spark, transcripts, dataTable, lineageTable,
-          buckets, maxB)
+          buckets, maxB, distribution)
         val done = l.select("bucket").distinct().collect().map(_.getLong(0)).toSet
         (l, (0L until buckets.toLong).filterNot(done))
       case None =>
-        val l = Lineage.run(spark, transcripts, output, buckets, maxB)
+        val l = Lineage.run(spark, transcripts, output, buckets, maxB, distribution)
         (l, Lineage.pendingBuckets(spark, output, buckets))
     }
     if (pending.isEmpty) {

@@ -142,17 +142,48 @@ object ExtractPipeline {
     * later high-priority request's messages preempt queued low-priority
     * ones. The Spark analog is FAIR scheduler pools at SUBMISSION time:
     * every job a batch submits while inside [[withPriorityPool]] lands in
-    * the pool named for its doc_type's priority class, and with
-    * `spark.scheduler.mode=FAIR` the task scheduler weights pools against
-    * each other — so an egov (prio 9) batch submitted mid-flight gets
-    * resources ahead of queued standard (prio 1) work, exactly the queue
-    * semantics. (In-task ordering — the other half — is `priorityOrdered`
-    * above.) Pool assignment is a thread-local SparkContext property, which
-    * is why this is an around-submission combinator rather than a plan
-    * node.
+    * the pool named for its doc_type's priority class. The pool name ALONE
+    * does nothing — the weighting only takes effect when the session runs
+    * with `spark.scheduler.mode=FAIR` plus an allocation file giving prio-N
+    * pools ascending weights (on-demand pools otherwise get default weight
+    * 1, making all priorities equal shares). [[writeFairSchedulerXml]] +
+    * [[fairSchedulerConf]] produce exactly that deployment configuration;
+    * with them an egov (prio 9) batch submitted mid-flight gets ~10x the
+    * task share of queued standard (prio 1) work — the queue semantics.
+    * (In-task ordering — the other half — is `priorityOrdered` above.)
+    * Pool assignment is a thread-local SparkContext property, which is why
+    * this is an around-submission combinator rather than a plan node.
     */
   def poolFor(docType: String, config: Engines.CoreConfig = Engines.CoreConfig()): String =
     s"prio-${Extractor.priority(docType, config)}"
+
+  /** Write the FAIR-scheduler allocation file that REALIZES the cross-job
+    * priority semantics: one pool per reference priority class 0-9, weight
+    * = priority + 1 (monotone, nonzero — a raw weight of 0 for prio-0
+    * would starve it entirely, which the reference's queue does not do),
+    * FIFO within a pool (matches in-queue arrival order). Returns the path
+    * for `spark.scheduler.allocation.file`.
+    */
+  def writeFairSchedulerXml(path: String): String = {
+    val pools = (0 to 9).map { p =>
+      s"""  <pool name="prio-$p">
+         |    <schedulingMode>FIFO</schedulingMode>
+         |    <weight>${p + 1}</weight>
+         |    <minShare>0</minShare>
+         |  </pool>""".stripMargin
+    }.mkString("\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      s"<?xml version=\"1.0\"?>\n<allocations>\n$pools\n</allocations>\n")
+    path
+  }
+
+  /** The session config activating [[writeFairSchedulerXml]]'s pools —
+    * apply at SparkSession build time (scheduler mode is a context-level
+    * setting; it cannot be flipped on a live session).
+    */
+  def fairSchedulerConf(allocationFile: String): Seq[(String, String)] = Seq(
+    "spark.scheduler.mode" -> "FAIR",
+    "spark.scheduler.allocation.file" -> allocationFile)
 
   def withPriorityPool[T](
       spark: SparkSession,

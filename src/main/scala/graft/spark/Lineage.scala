@@ -73,7 +73,8 @@ object Lineage {
       transcripts: DataFrame,
       outDir: String,
       numBuckets: Int = 8,
-      maxBucketsThisRun: Int = Int.MaxValue
+      maxBucketsThisRun: Int = Int.MaxValue,
+      distribution: String = "salted"
   ): DataFrame = {
     val existing = readLineage(spark, outDir)
     // Guard: bucket membership is hash(conv_id) % numBuckets — resuming with
@@ -93,7 +94,7 @@ object Lineage {
       // ONE job for every pending bucket: the hash-bucket predicate can't be
       // pushed into parquet, so it must not be evaluated once per bucket
       val subset = transcripts.filter(bucketCol(numBuckets).isin(pending: _*))
-      val extracted = ExtractPipeline.extract(spark, subset)
+      val extracted = ExtractPipeline.extract(spark, subset, distribution = distribution)
         .withColumn("bucket", bucketCol(numBuckets)) // recompute from conv_id
         .sortWithinPartitions("conv_id", "turn_idx")
       extracted.write.mode("overwrite")
@@ -179,7 +180,8 @@ object Lineage {
       dataTable: String,
       lineageTable: String,
       numBuckets: Int = 8,
-      maxBucketsThisRun: Int = Int.MaxValue
+      maxBucketsThisRun: Int = Int.MaxValue,
+      distribution: String = "salted"
   ): DataFrame = {
     val existing = readLineageTable(spark, lineageTable)
     val priorBuckets: Set[Long] =
@@ -192,17 +194,22 @@ object Lineage {
     val pending = (0L until numBuckets.toLong).filterNot(done).take(maxBucketsThisRun)
     if (pending.nonEmpty) {
       val subset = transcripts.filter(bucketCol(numBuckets).isin(pending: _*))
-      val extracted = ExtractPipeline.extract(spark, subset)
+      val extracted = ExtractPipeline.extract(spark, subset, distribution = distribution)
         .withColumn("bucket", bucketCol(numBuckets))
         .sortWithinPartitions("conv_id", "turn_idx")
       if (!spark.catalog.tableExists(dataTable)) {
         extracted.write.partitionBy("bucket").format("parquet").saveAsTable(dataTable)
       } else {
         // dynamic overwrite: ONLY the pending buckets' partitions are
-        // replaced (idempotent under crash+rerun), committed ones untouched
+        // replaced (idempotent under crash+rerun), committed ones untouched.
+        // insertInto resolves columns by POSITION, so select them in the
+        // committed table's order first — without this, a same-typed column
+        // reorder in ExtractPipeline.extract would silently write swapped
+        // columns into committed partitions.
+        val aligned = extracted.select(spark.table(dataTable).columns.map(col): _*)
         val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try extracted.write.mode("overwrite").insertInto(dataTable)
+        try aligned.write.mode("overwrite").insertInto(dataTable)
         finally prev match {
           case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
           case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
