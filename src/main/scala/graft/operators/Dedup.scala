@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.SparkSession
+
 /** Deduplication operators for training-data pipelines: exact (hash-groupBy),
   * word-n-gram Jaccard, MinHash+LSH banding (batch + streaming), SimHash,
   * and embedding-cosine near-dup. Scale notes per operator:
@@ -24,6 +26,41 @@ import org.apache.spark.sql.functions._
   * All variants are pure Catalyst expressions, each with a DuckDB-SQL twin.
   */
 object Dedup {
+
+  /** Unique suffix for observed-metric names: a query may compose several
+    * capped operators (e.g. the e2e pipeline), and Spark requires observed
+    * metric names to be unique within one Dataset.
+    */
+  private val capMetricSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Tag `df` with an observed metric counting blocks a degenerate-bucket
+    * cap is about to drop ([[minhashMaxBucket]] / [[simhashMaxBlock]] /
+    * [[nearDupMaxBucket]]). The caps are unreachable at test scale (so the
+    * DuckDB oracle twins carry no cap branch), but if a 100 TB corpus ever
+    * hits one, the Spark/oracle divergence must be OBSERVABLE, not silent:
+    * the metric rides the existing aggregation (no extra pass/shuffle) and
+    * [[registerCapLogger]] surfaces any non-zero count as a warning.
+    */
+  private def observeCapDrops(df: DataFrame, op: String, blockSize: Column, cap: Int): DataFrame =
+    df.observe(s"graft_caps_${op}_${capMetricSeq.incrementAndGet()}",
+      sum(when(blockSize > cap, 1L).otherwise(0L)).as("dropped_blocks"),
+      max(blockSize).cast("long").as("max_block"))
+
+  /** Log every cap-triggered block drop (once per session is enough). */
+  def registerCapLogger(spark: SparkSession): Unit =
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      private val log = org.slf4j.LoggerFactory.getLogger("graft.Dedup")
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.startsWith("graft_caps_") && !row.isNullAt(0) && row.getLong(0) > 0L)
+            log.warn(s"$name: ${row.getLong(0)} degenerate blocks dropped by cap " +
+              s"(largest block ${row.getLong(1)}) — oracle twins carry no cap branch; " +
+              "results diverge from uncapped SQL at this corpus size")
+        }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    })
 
   /** The dup-injected corpus: documents plus a shifted copy of every 4th doc
     * (deterministic; gives the dedup operators guaranteed positives). Twin
@@ -128,10 +165,11 @@ object Dedup {
 
   def minhashBands(doc: DataFrame): DataFrame = {
     val bands = array((0 until minhashBandCount).map(b => col(s"band$b")): _*)
-    minhashSignature(withInjectedDups(doc))
+    val buckets = minhashSignature(withInjectedDups(doc))
       .select(col("doc_id"), posexplode(bands).as(Seq("band_idx", "band_val")))
       .groupBy("band_idx", "band_val")
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+    observeCapDrops(buckets, "minhash", size(col("ids")), minhashMaxBucket)
       .filter(size(col("ids")) > 1 && size(col("ids")) <= minhashMaxBucket)
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
@@ -157,15 +195,39 @@ object Dedup {
     */
   def runStreamingNearDup(
       spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    import org.apache.spark.sql.types._
     val base = graft.spark.TmpDirs.create("graft_sneardup_")
     val out = s"$base/out"; val cp = s"$base/cp"
     val in = graft.spark.Staged.docsWithDups(spark, sfDir)
+    Events.withShufflePartitions(spark, Events.stateShards) {
+      streamingNearDupQuery(spark, in, out, cp).awaitTermination()
+    }
+    spark.read.parquet(out).agg(
+      count(lit(1)).cast("long").as("n_survivors"),
+      countDistinct(col("band0")).cast("long").as("n_buckets"))
+  }
+
+  /** The streaming near-dup query itself, parameterized on the input dir
+    * and `maxFilesPerTrigger` — exposed so the spec can force MULTIPLE
+    * AvailableNow micro-batches and pin the cross-batch state path (a
+    * band-0 bucket claimed in batch 1 must still suppress a duplicate
+    * arriving in batch 2 while the watermark covers both).
+    */
+  private[graft] def streamingNearDupQuery(
+      spark: org.apache.spark.sql.SparkSession,
+      in: String,
+      out: String,
+      cp: String,
+      maxFilesPerTrigger: Option[Int] = None
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("ts", TimestampType)))
-    val stream = spark.readStream.schema(schema).parquet(in)
+    val reader = spark.readStream.schema(schema)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
+      .parquet(in)
     val sig = stream
       .filter(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id"), col("ts"),
@@ -174,21 +236,15 @@ object Dedup {
         (0 until minhashRowsPerBand)
           .map(r => element_at(col("mh"), r + 1).cast("string")): _*)))
       .select(col("doc_id"), col("ts"), col("band0"))
-    Events.withShufflePartitions(spark, Events.stateShards) {
-      val q = sig
-        .withWatermark("ts", "3650 days")
-        .dropDuplicatesWithinWatermark("band0")
-        .writeStream
-        .format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", cp)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    spark.read.parquet(out).agg(
-      count(lit(1)).cast("long").as("n_survivors"),
-      countDistinct(col("band0")).cast("long").as("n_buckets"))
+    sig
+      .withWatermark("ts", "3650 days")
+      .dropDuplicatesWithinWatermark("band0")
+      .writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .start()
   }
 
   /** The canonical two-stage MinHash pipeline: candidate pairs from the LSH
@@ -295,11 +351,12 @@ object Dedup {
   def simhashPairsFromSig(sig: DataFrame, maxHamming: Int = 3): DataFrame = {
     val bands = array((0 until simhashBandCount).map(b =>
       simhashRotBlock(col("simhash"), b)): _*)
-    sig
+    val blocks = sig
       .select(col("doc_id"), col("simhash").cast("int").as("simhash"),
         posexplode(bands).as(Seq("band_idx", "band_val")))
       .groupBy("band_idx", "band_val")
       .agg(array_sort(collect_list(struct(col("doc_id"), col("simhash")))).as("ms"))
+    observeCapDrops(blocks, "simhash", size(col("ms")), simhashMaxBlock)
       .filter(size(col("ms")) > 1 && size(col("ms")) <= simhashMaxBlock)
       // in-block quadratic comparison via the native one-pass
       // [[graft.spark.SimHashPairs]] kernel: only pairs within maxHamming
@@ -382,33 +439,57 @@ object Dedup {
       .reduce(_ + _)
       .cast("int")
 
+  /** Degenerate-bucket guard for [[nearDupPairs]] (the [[minhashMaxBucket]]
+    * pattern): an (band_idx, band_val) block larger than this is DROPPED
+    * WHOLE — at 100 TB a boilerplate-heavy embedding cluster (e.g. a
+    * near-constant template vector) collapses into one bucket whose
+    * quadratic pairing is unbounded, and whose members are better handled
+    * by the exact-dup operator. Never reached at test scale, so the DuckDB
+    * twin needs no cap branch; drops are observable via
+    * [[registerCapLogger]], never silent.
+    */
+  val nearDupMaxBucket = 10000
+
   /** Near-dup pairs by cosine within content-derived LSH bands over a
-    * (vec_id, emb: array<double>[64]) table: banding is a narrow map, the
-    * pairing is ONE equi-join on the exploded (band_idx, band_val) key —
-    * the shape that holds at 100 TB (candidate comparisons drop to
-    * within-band, AQE handles hot buckets), with `distinct` collapsing
-    * pairs that agree on several bands. Squared norms are computed ONCE per
-    * row before the join (same float value and op order as the inline
-    * form), so per-candidate work is one 64-dim dot product.
+    * (vec_id, emb: array<double>[64]) table. ONE scan and ONE shuffle
+    * total — the [[minhashBands]]/[[simhashPairsFromSig]] shape: the
+    * banding projection (96 plane dots per row, the expensive map) runs
+    * exactly once, rows explode on (band_idx, band_val), each bucket
+    * collects its (vec_id, emb, na) structs, and sorted in-bucket pairs
+    * are generated by an array expression — no self-join (the earlier
+    * two-sided join re-computed the banding over the whole corpus for each
+    * side; pinned gone by a single-scan plan test). The per-pair cosine
+    * runs AFTER the explode in a codegen'd projection (native `vecDot`),
+    * with squared norms computed once per row before the shuffle; `distinct`
+    * collapses pairs that agree on several bands. Buckets above
+    * [[nearDupMaxBucket]] are dropped whole (observable, see
+    * [[registerCapLogger]]); hot-but-legal buckets are AQE's job.
     */
   def nearDupPairs(base: DataFrame, minCos: Double): DataFrame = {
     import graft.spark.VectorFunctions.vecDot
     val bands = array((0 until nearDupBands).map(nearDupBandValue): _*)
-    val k = base
+    val buckets = base
       .withColumn("na", vecDot(col("emb"), col("emb")))
       .select(col("vec_id"), col("emb"), col("na"),
         posexplode(bands).as(Seq("band_idx", "band_val")))
-    val a = k.as("a")
-    val b = k.as("b")
-    val dot = vecDot(col("a.emb"), col("b.emb"))
-    a.join(b,
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_val") === col("b.band_val") &&
-          col("b.vec_id") > col("a.vec_id"))
+      .groupBy("band_idx", "band_val")
+      // sorts by vec_id (unique first field), so pair generation over
+      // (i, j > i) preserves the a_id < b_id contract of the old join
+      .agg(array_sort(collect_list(struct(col("vec_id"), col("emb"), col("na")))).as("vs"))
+    val pairs = observeCapDrops(buckets, "neardup", size(col("vs")), nearDupMaxBucket)
+      .filter(size(col("vs")) > 1 && size(col("vs")) <= nearDupMaxBucket)
+      .select(explode(expr(
+        """flatten(transform(vs, (x, i) ->
+          |  transform(slice(vs, i + 2, size(vs)), y ->
+          |    named_struct('a_id', x.vec_id, 'b_id', y.vec_id,
+          |                 'a_emb', x.emb, 'b_emb', y.emb,
+          |                 'a_na', x.na, 'b_na', y.na))))""".stripMargin)).as("p"))
+    val dot = vecDot(col("p.a_emb"), col("p.b_emb"))
+    pairs
       .select(
-        col("a.vec_id").as("a_id"),
-        col("b.vec_id").as("b_id"),
-        round(dot / sqrt(col("a.na") * col("b.na")), 6).as("cos"))
+        col("p.a_id").as("a_id"),
+        col("p.b_id").as("b_id"),
+        round(dot / sqrt(col("p.a_na") * col("p.b_na")), 6).as("cos"))
       .filter(col("cos") >= minCos)
       .distinct()
   }

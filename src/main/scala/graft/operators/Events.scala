@@ -103,23 +103,42 @@ object Events {
     val base = graft.spark.TmpDirs.create("graft_sdedup_")
     val out = s"$base/out"; val cp = s"$base/cp"
     val in = graft.spark.Staged.eventsWithDups(spark, sfDir)
-    val stream = spark.readStream.schema(eventSchema).parquet(in)
     withShufflePartitions(spark, stateShards) {
-      val q = stream
-        .withWatermark("ts", "3650 days") // >= the table's event-time span
-        .dropDuplicatesWithinWatermark("event_id")
-        .writeStream
-        .format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", cp)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      streamingDedupQuery(spark, in, out, cp).awaitTermination()
     }
     spark.read.parquet(out)
       .groupBy("event_type")
       .agg(count(lit(1)).cast("long").as("n_events"),
         countDistinct(col("event_id")).cast("long").as("n_distinct"))
+  }
+
+  /** The streaming-dedup query itself, parameterized on the input dir and
+    * `maxFilesPerTrigger` — exposed so the spec can force MULTIPLE
+    * AvailableNow micro-batches (one file per trigger over a multi-file
+    * input) and pin that the dedup guarantee holds across the state-store
+    * boundary, not just inside one batch (the harness oracle input is one
+    * file = one batch, which makes the contract structural there).
+    */
+  private[graft] def streamingDedupQuery(
+      spark: SparkSession,
+      in: String,
+      out: String,
+      cp: String,
+      maxFilesPerTrigger: Option[Int] = None
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val reader = spark.readStream.schema(eventSchema)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
+      .parquet(in)
+    stream
+      .withWatermark("ts", "3650 days") // >= the table's event-time span
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .start()
   }
 
   final case class EventLite(user_id: Long, event_id: Long, ts: java.sql.Timestamp)

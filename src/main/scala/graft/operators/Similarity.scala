@@ -77,28 +77,59 @@ object Similarity {
     */
   val ivfCells = 16
 
-  def ivfAssign(emb: DataFrame): DataFrame = {
-    // float->double is exact, so the JVM-side cast equals SQL CAST(x AS DOUBLE)
-    val cents: Array[(Long, Array[Double])] = emb.filter(col("vec_id") < ivfCells)
+  /** Test hook: number of [[collectCentroids]] driver fetches — pins the
+    * "collect centroids ONCE per query" contract (each fetch is a Spark job
+    * plus a scan; the earlier code ran one per assignment call, so
+    * `ivfTopKProbe2` paid two and `annRecall` four).
+    */
+  private[graft] val centroidCollects = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Collect the [[ivfCells]] centroid vectors ONCE (a 16-row driver fetch —
+    * the "broadcast" of the inverted-file shape). Callers composing several
+    * IVF methods over the same corpus share one result.
+    * float->double is exact, so the JVM-side cast equals SQL CAST(AS DOUBLE).
+    */
+  private[graft] def collectCentroids(emb: DataFrame): Array[(Long, Array[Double])] = {
+    centroidCollects.incrementAndGet()
+    emb.filter(col("vec_id") < ivfCells)
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ce"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
+  }
+
+  /** The shared map-side scoring machinery: per-cell cosine array + the
+    * centroid-id lookup array, from an already-collected centroid table.
+    * Same op order as Dedup.cosineExpr / the DuckDB twin:
+    * round(dot / sqrt(na * nb), 6); nb folds sequentially like `aggregate`.
+    */
+  private def cellScores(cents: Array[(Long, Array[Double])]): (DataFrame => DataFrame, Column) = {
     import graft.spark.VectorFunctions.vecDot
-    val withNa = emb
-      .select(col("vec_id"), col("embedding"))
-      .withColumn("na", vecDot(col("embedding"), col("embedding")))
-    // per-cell cosine, same op order as Dedup.cosineExpr / the DuckDB twin:
-    // round(dot / sqrt(na * nb), 6); nb folds sequentially like `aggregate`
     val scores = cents.map { case (_, ce) =>
       val nb = ce.foldLeft(0d)((acc, x) => acc + x * x)
-      val dot = vecDot(col("embedding"), typedlit(ce.toSeq))
-      round(dot / sqrt(col("na") * lit(nb)), 6)
+      round(vecDot(col("embedding"), typedlit(ce.toSeq)) / sqrt(col("na") * lit(nb)), 6)
     }
-    val ids = typedlit(cents.map(_._1).toSeq)
-    withNa
-      .withColumn("ccos_arr", array(scores.toIndexedSeq: _*))
+    val withScores = (emb: DataFrame) =>
+      emb.select(col("vec_id"), col("embedding"))
+        .withColumn("na", vecDot(col("embedding"), col("embedding")))
+        .withColumn("ccos_arr", array(scores.toIndexedSeq: _*))
+    (withScores, typedlit(cents.map(_._1).toSeq))
+  }
+
+  def ivfAssign(emb: DataFrame): DataFrame = ivfAssignWith(emb, collectCentroids(emb))
+
+  /** Cell assignment from pre-collected centroids: a PURE NARROW MAP — each
+    * row scores all cells inside one codegen'd projection and takes the
+    * argmax with `array_position(scores, array_max(scores))` (first
+    * occurrence = lowest centroid id, the same tiebreak as a `row_number`
+    * form). Zero Exchange before cell assignment (plan-pinned) — shuffling
+    * the corpus through a 16-rows-per-vector window would be a cluster-wide
+    * shuffle of 16x the corpus at 100 TB.
+    */
+  def ivfAssignWith(emb: DataFrame, cents: Array[(Long, Array[Double])]): DataFrame = {
+    val (withScores, ids) = cellScores(cents)
+    withScores(emb)
       .select(col("vec_id"), col("embedding"),
         element_at(ids,
           array_position(col("ccos_arr"), array_max(col("ccos_arr"))).cast("int"))
@@ -106,30 +137,18 @@ object Similarity {
   }
 
   /** Top-2 cells per vector (nprobe=2 probing side), same map-side argmax
-    * machinery as [[ivfAssign]]: the runner-up cell is the argmax of the
+    * machinery as [[ivfAssignWith]]: the runner-up cell is the argmax of the
     * score array with the winner's slot nulled out (`array_max` skips
     * nulls; first-occurrence position preserves the lowest-centroid-id
     * tiebreak, i.e. the `row_number` ordering of the oracle). Still zero
     * Exchange.
     */
-  def ivfAssignProbe2(emb: DataFrame): DataFrame = {
-    val cents: Array[(Long, Array[Double])] = emb.filter(col("vec_id") < ivfCells)
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ce"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
-    import graft.spark.VectorFunctions.vecDot
-    val withNa = emb
-      .select(col("vec_id"), col("embedding"))
-      .withColumn("na", vecDot(col("embedding"), col("embedding")))
-    val scores = cents.map { case (_, ce) =>
-      val nb = ce.foldLeft(0d)((acc, x) => acc + x * x)
-      round(vecDot(col("embedding"), typedlit(ce.toSeq)) / sqrt(col("na") * lit(nb)), 6)
-    }
-    val ids = typedlit(cents.map(_._1).toSeq)
-    withNa
-      .withColumn("ccos_arr", array(scores.toIndexedSeq: _*))
+  def ivfAssignProbe2(emb: DataFrame): DataFrame =
+    ivfAssignProbe2With(emb, collectCentroids(emb))
+
+  def ivfAssignProbe2With(emb: DataFrame, cents: Array[(Long, Array[Double])]): DataFrame = {
+    val (withScores, ids) = cellScores(cents)
+    withScores(emb)
       .withColumn("i1",
         array_position(col("ccos_arr"), array_max(col("ccos_arr"))))
       .withColumn("arr2",
@@ -147,9 +166,20 @@ object Similarity {
     * fan-in — the standard IVF quality/cost dial.
     */
   def ivfTopKProbe2(emb: DataFrame, nQueries: Int = 10, k: Int = 3): DataFrame = {
-    val c = ivfAssign(emb).select(col("vec_id").as("neighbor_id"),
+    // ONE centroid collect shared by the candidate and probing sides
+    val cents = collectCentroids(emb)
+    ivfTopKProbe2From(ivfAssignWith(emb, cents), ivfAssignProbe2With(emb, cents),
+      nQueries, k)
+  }
+
+  /** Probe-2 ranking over prebuilt assignment tables — exposed so
+    * [[annRecall]] can reuse ONE assigned candidates table across methods.
+    */
+  private def ivfTopKProbe2From(
+      assigned: DataFrame, probes: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val c = assigned.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("ce"), col("cell"))
-    val q = ivfAssignProbe2(emb).filter(col("vec_id") < nQueries)
+    val q = probes.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         explode(array(col("cell1"), col("cell2"))).as("cell"))
     val scored = q.join(c, Seq("cell"))
@@ -165,8 +195,10 @@ object Similarity {
   }
 
   /** IVF top-k: candidates restricted to the query's cell (nprobe=1). */
-  def ivfTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 3): DataFrame = {
-    val assigned = ivfAssign(emb)
+  def ivfTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 3): DataFrame =
+    ivfTopKFrom(ivfAssign(emb), nQueries, k)
+
+  private def ivfTopKFrom(assigned: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val q = assigned.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("cell"))
     val c = assigned.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
@@ -190,9 +222,14 @@ object Similarity {
     * neighbors recovered. All inputs are the deterministic rankings above
     * (cos rounded to 6, neighbor-id tiebreak), so recall itself is
     * oracle-exact. Plan shape: the truth table is tiny (nQueries*k rows);
-    * each method joins it once — broadcast-grade at any corpus size.
+    * each method joins it once — broadcast-grade at any corpus size. The
+    * IVF methods share ONE centroid collect and ONE assigned candidates
+    * table (the earlier from-scratch composition collected the centroids
+    * four times and re-scored the corpus per method).
     */
   def annRecall(emb: DataFrame, nQueries: Int = 10, k: Int = 3): DataFrame = {
+    val cents = collectCentroids(emb)
+    val assigned = ivfAssignWith(emb, cents)
     val truth = bruteForceTopK(emb, nQueries, k)
       .select(col("query_id"), col("neighbor_id"))
     def recallOf(method: String, ann: DataFrame): DataFrame =
@@ -207,8 +244,9 @@ object Similarity {
           round(col("n_hit").cast("double") / col("n_true").cast("double"), 4)
             .as("recall"))
     recallOf("lsh", lshTopK(emb, nQueries, k))
-      .unionByName(recallOf("ivf", ivfTopK(emb, nQueries, k)))
-      .unionByName(recallOf("ivf_probe2", ivfTopKProbe2(emb, nQueries, k)))
+      .unionByName(recallOf("ivf", ivfTopKFrom(assigned, nQueries, k)))
+      .unionByName(recallOf("ivf_probe2", ivfTopKProbe2From(assigned,
+        ivfAssignProbe2With(emb, cents), nQueries, k)))
   }
 
   /** LSH-bucketed top-k: same ranking but candidates restricted to the

@@ -15,13 +15,23 @@ import org.scalatest.funsuite.AnyFunSuite
 class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   val sfDir = "/root/testdata/sf0.001"
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .appName("graft-test")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    // the deployment config ExtractPipeline.withPriorityPool prescribes:
+    // FAIR mode + the generated prio-N allocation file (scheduler mode is
+    // context-level, so the shared test session carries it; FAIR vs FIFO
+    // never changes results, only task scheduling)
+    val alloc = ExtractPipeline.writeFairSchedulerXml(
+      java.nio.file.Files.createTempFile("graft_fair_", ".xml").toString)
+    val b = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    ExtractPipeline.fairSchedulerConf(alloc)
+      .foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+      .getOrCreate()
+  }
 
   override def afterAll(): Unit = spark.stop()
 
@@ -93,6 +103,25 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] {
       Lineage.run(spark, t, crashy, numBuckets = 16)
     }
+  }
+
+  test("lineage: heavy-only distribution resumes to the same output as salted") {
+    // the 100 TB-optimal variant (--distribution heavy-only via graft.Main):
+    // light rows map in place on their scan splits, only the heavy payload
+    // tail repartitions — crash + resume must still commit identical output
+    val t = Transcripts.fromDocuments(spark, sfDir)
+    val salted = tmpDir("graft_ho_salted_")
+    Lineage.run(spark, t, salted, numBuckets = 8)
+    val heavyOnly = tmpDir("graft_ho_")
+    Lineage.run(spark, t, heavyOnly, numBuckets = 8, maxBucketsThisRun = 3,
+      distribution = "heavy-only")
+    assert(Lineage.pendingBuckets(spark, heavyOnly, 8).size == 5)
+    Lineage.run(spark, t, heavyOnly, numBuckets = 8, distribution = "heavy-only")
+    assert(Lineage.pendingBuckets(spark, heavyOnly, 8).isEmpty)
+    def rows(dir: String) = Lineage.readOutput(spark, dir)
+      .select("conv_id", "turn_idx", "text", "status", "engine")
+      .orderBy("conv_id", "turn_idx").collect().toSeq
+    assert(rows(heavyOnly) == rows(salted))
   }
 
   test("lineage: catalog-table path — crash + resume equals the path-based output") {
@@ -204,6 +233,22 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(twice == once, "replayed batches duplicated delivery rows")
   }
 
+  /** Stamp strictly increasing mod-times on the parquet files written
+    * before/after a cut, so the file stream's oldest-first ordering makes
+    * the first write batch 1 and the second write batch 2 under
+    * maxFilesPerTrigger=1 (two same-millisecond writes would otherwise
+    * leave the batch order to a path tiebreak).
+    */
+  private def orderBatches(inDir: String, firstWrite: Set[java.io.File]): Unit = {
+    val now = System.currentTimeMillis()
+    val all = new java.io.File(inDir).listFiles().filter(_.getName.endsWith(".parquet"))
+    all.filter(firstWrite.contains).foreach(f => assert(f.setLastModified(now - 120000)))
+    all.filterNot(firstWrite.contains).foreach(f => assert(f.setLastModified(now - 60000)))
+  }
+
+  private def parquetFiles(dir: String): Set[java.io.File] =
+    new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet")).toSet
+
   test("streaming: dedup drops a duplicate arriving in a LATER micro-batch") {
     import graft.operators.Events
     val base = tmpDir("graft_sdedup2_")
@@ -211,24 +256,48 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // batch 1: the full table (one file); batch 2: a replay of its OLDEST
     // events (stale-timestamp duplicates — the case a short watermark loses)
     ev.coalesce(1).write.mode("overwrite").parquet(s"$base/in")
+    val first = parquetFiles(s"$base/in")
     ev.orderBy(col("ts")).limit(20).coalesce(1)
       .write.mode("append").parquet(s"$base/in")
-    val stream = spark.readStream.schema(Events.eventSchema)
-      .option("maxFilesPerTrigger", "1") // force separate micro-batches
-      .parquet(s"$base/in")
-    val q = stream
-      .withWatermark("ts", "3650 days") // the structural full-span horizon
-      .dropDuplicatesWithinWatermark("event_id")
-      .writeStream
-      .format("parquet")
-      .option("path", s"$base/out")
-      .option("checkpointLocation", s"$base/cp")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    orderBatches(s"$base/in", first)
+    // drive the ACTUAL operator query, one file per trigger
+    val q = Events.streamingDedupQuery(spark, s"$base/in", s"$base/out",
+      s"$base/cp", maxFilesPerTrigger = Some(1))
     q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "input did not split into multiple micro-batches")
     val survivors = spark.read.parquet(s"$base/out")
     assert(survivors.count() == ev.count(), "a late-batch duplicate survived")
     assert(survivors.select("event_id").distinct().count() == ev.count())
+  }
+
+  test("streaming: near-dup bucket claimed in batch 1 suppresses batch-2 duplicates") {
+    val base = tmpDir("graft_sneardup2_")
+    val doc = Transcripts.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .withColumn("ts", (lit(1767225600L) + col("doc_id")).cast("timestamp"))
+    // batch 1: the corpus; batch 2: shifted-id copies of every 4th doc —
+    // their minhash band-0 bucket was claimed in batch 1, so ALL of them
+    // must be suppressed by state surviving the micro-batch boundary
+    doc.coalesce(1).write.mode("overwrite").parquet(s"$base/in")
+    val first = parquetFiles(s"$base/in")
+    doc.filter(pmod(col("doc_id"), lit(4)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+        (lit(1767229200L) + col("doc_id")).cast("timestamp").as("ts"))
+      .coalesce(1).write.mode("append").parquet(s"$base/in")
+    orderBatches(s"$base/in", first)
+    val q = Dedup.streamingNearDupQuery(spark, s"$base/in", s"$base/out",
+      s"$base/cp", maxFilesPerTrigger = Some(1))
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "input did not split into multiple micro-batches")
+    val survivors = spark.read.parquet(s"$base/out")
+    assert(survivors.filter(col("doc_id") >= 1000000L).count() == 0,
+      "a batch-2 duplicate of a batch-1 bucket survived")
+    // survivors = exactly one per distinct band-0 bucket across BOTH batches
+    val expected = Dedup
+      .minhashSignature(spark.read.parquet(s"$base/in").select("doc_id", "text"))
+      .select("band0").distinct().count()
+    assert(survivors.count() == expected)
   }
 
   test("lineage: empty buckets still commit (one-job path, 64 buckets over 50 convs)") {
@@ -428,6 +497,14 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(observed == "prio-9")
     // ...and the property is restored afterwards (no leakage across jobs)
     assert(sc.getLocalProperty("spark.scheduler.pool") == null)
+    // the weights are REALIZED, not just named: the session runs FAIR mode
+    // with the generated allocation file, so prio-9 outweighs prio-1 10:2
+    // (weight = priority + 1; on-demand pools without the file would all
+    // get weight 1 and priorities would be equal shares)
+    assert(sc.getSchedulingMode.toString == "FAIR")
+    assert(sc.getPoolForName("prio-9").map(_.weight).contains(10))
+    assert(sc.getPoolForName("prio-1").map(_.weight).contains(2))
+    assert(sc.getPoolForName("prio-0").map(_.weight).contains(1))
   }
 
   test("distribution: heavy-only (no full shuffle) equals the salted pipeline") {
@@ -665,6 +742,59 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs(0).getDouble(2) > 0.99)
   }
 
+  test("dedup: degenerate-block cap drops are observable (graft_caps_* metrics)") {
+    // the caps (minhashMaxBucket / simhashMaxBlock / nearDupMaxBucket) are
+    // unreachable at test scale, so the contract to pin is OBSERVABILITY:
+    // every capped operator publishes a graft_caps_* observed metric
+    // (dropped_blocks, max_block) that a listener can read at runtime —
+    // a cap-triggered Spark/oracle divergence is loggable, never silent
+    @volatile var seen = Map.empty[String, (Long, Long)]
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        qe.observedMetrics.foreach { case (n, r) =>
+          if (n.startsWith("graft_caps_")) seen += n -> ((r.getLong(0), r.getLong(1)))
+        }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      Dedup.registerCapLogger(spark) // the production warn-logger co-exists
+      val doc = Transcripts.documents(spark, sfDir)
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      Dedup.minhashBands(doc).count()
+      Dedup.simhashPairs(doc).count()
+      Dedup.embeddingNearDup(emb).count()
+      // QueryExecutionListener delivery is async — poll until the three
+      // operator families have reported
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      def families = Set("minhash", "simhash", "neardup")
+        .filter(fam => seen.keys.exists(_.startsWith(s"graft_caps_$fam")))
+      while (families.size < 3 && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(families.size == 3, s"metrics seen: ${seen.keys}")
+      // nothing dropped at this scale, and the gauge saw real blocks
+      assert(seen.values.forall(_._1 == 0L), s"unexpected drops: $seen")
+      assert(seen.values.exists(_._2 >= 2L), s"max_block never measured: $seen")
+    } finally spark.listenerManager.unregister(l)
+  }
+
+  test("plan: embedding near-dup computes the banding in ONE pass (no self-join)") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // pairing over a parquet base reads the input EXACTLY once: the banding
+    // projection (96 plane dots/row) is no longer computed per join side
+    val base = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val plan = Dedup.nearDupPairs(base, minCos = 0.8)
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllMatchIn(plan).length == 1, s"plan:\n$plan")
+    // the full operator reads once per dup-injection union branch (2), not
+    // once per (branch x join side) (4, the old self-join shape)
+    val full = Dedup.embeddingNearDup(emb)
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllMatchIn(full).length == 2, s"plan:\n$full")
+  }
+
   test("ann: lsh top-k is a subset-consistent restriction of brute force") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val bf = Similarity.bruteForceTopK(emb, nQueries = 5, k = 3)
@@ -677,6 +807,19 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(col("query_id"), col("cos").as("lsh_cos"))
     val joined = bfBest.join(lshBest, Seq("query_id"))
     assert(joined.filter(col("lsh_cos") > col("bf_cos")).count() == 0)
+  }
+
+  test("ivf: centroids collected ONCE per composed query") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // each collect is a Spark job + a scan; composed methods must share one
+    Similarity.centroidCollects.set(0L)
+    Similarity.ivfTopKProbe2(emb)
+    assert(Similarity.centroidCollects.get() == 1L,
+      s"ivfTopKProbe2 ran ${Similarity.centroidCollects.get()} centroid collects")
+    Similarity.centroidCollects.set(0L)
+    Similarity.annRecall(emb)
+    assert(Similarity.centroidCollects.get() == 1L,
+      s"annRecall ran ${Similarity.centroidCollects.get()} centroid collects")
   }
 
   test("multimodal: stub decode plumbing produces typed metadata batches") {
