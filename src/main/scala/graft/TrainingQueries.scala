@@ -62,6 +62,31 @@ object TrainingQueries {
     s"""list_sum(list_transform(range(1, 65),
        |  n -> CAST(embedding[n] AS DOUBLE) * (CASE WHEN (n * ${j + 3}) % 7 <= 3 THEN 1.0 ELSE -1.0 END)))""".stripMargin
 
+  /** Shared CTE chain ending in `vpairs(a_id, b_id, jaccard)` — the
+    * verified minhash near-dup pairs (twin of Dedup.minhashJaccard), used
+    * by both the verify oracle and the cluster oracle's recursion base.
+    */
+  private lazy val duckVerifiedPairCtes: String = {
+    val jac = """round(len(list_intersect(a_grams, b_grams)) * 1.0 /
+                |        (len(a_grams) + len(b_grams) - len(list_intersect(a_grams, b_grams))), 4)""".stripMargin
+    s"""base AS $duckDupBase,
+       |g AS (
+       |  SELECT doc_id, $duckShingles AS grams
+       |  FROM base WHERE len(string_split(text, ' ')) >= 3),
+       |h AS (SELECT doc_id, grams, $duckHcat AS hcat FROM g),
+       |sig AS (
+       |  SELECT doc_id, grams,
+       |  $duckBandExprs
+       |  FROM h),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    a.grams AS a_grams, b.grams AS b_grams
+       |  FROM sig a JOIN sig b ON ($duckAnyBand) AND a.doc_id < b.doc_id),
+       |vpairs AS (
+       |  SELECT a_id, b_id, $jac AS jaccard
+       |  FROM cand WHERE $jac >= 0.5)""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> ((s, dir) =>
       TextAnalysis.tokenCounts(Transcripts.documents(s, dir)).orderBy("doc_id")),
@@ -86,6 +111,11 @@ object TrainingQueries {
 
     "dedup_minhash_verify" -> ((s, dir) =>
       Dedup.minhashJaccard(Transcripts.documents(s, dir)).orderBy("a_id", "b_id")),
+
+    // transitive dup-cluster resolution: connected components over the
+    // verified pairs (min-label propagation; cluster_id = component min)
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.dupClusters(Transcripts.documents(s, dir)).orderBy("doc_id")),
 
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(Transcripts.documents(s, dir)).orderBy("doc_id")),
@@ -269,29 +299,27 @@ object TrainingQueries {
          |  ON ($duckAnyBand) AND a.doc_id < b.doc_id
          |ORDER BY a_id, b_id""".stripMargin,
 
-    "dedup_minhash_verify" -> {
-      s"""WITH base AS $duckDupBase,
-         |g AS (
-         |  SELECT doc_id, $duckShingles AS grams
-         |  FROM base WHERE len(string_split(text, ' ')) >= 3),
-         |h AS (SELECT doc_id, grams, $duckHcat AS hcat FROM g),
-         |sig AS (
-         |  SELECT doc_id, grams,
-         |  $duckBandExprs
-         |  FROM h),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-         |    a.grams AS a_grams, b.grams AS b_grams
-         |  FROM sig a JOIN sig b ON ($duckAnyBand) AND a.doc_id < b.doc_id)
-         |SELECT a_id, b_id,
-         |  round(len(list_intersect(a_grams, b_grams)) * 1.0 /
-         |        (len(a_grams) + len(b_grams) - len(list_intersect(a_grams, b_grams))), 4)
-         |    AS jaccard
-         |FROM cand
-         |WHERE round(len(list_intersect(a_grams, b_grams)) * 1.0 /
-         |        (len(a_grams) + len(b_grams) - len(list_intersect(a_grams, b_grams))), 4) >= 0.5
-         |ORDER BY a_id, b_id""".stripMargin
-    },
+    "dedup_minhash_verify" ->
+      s"""WITH $duckVerifiedPairCtes
+         |SELECT a_id, b_id, jaccard FROM vpairs
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "dedup_clusters" ->
+      // connected components over vpairs as a recursive CTE: reach(id,
+      // label) enumerates every label reachable from each node; the
+      // component min per node is the cluster id — the same fixpoint the
+      // Spark min-label propagation converges to
+      s"""WITH RECURSIVE $duckVerifiedPairCtes,
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM vpairs
+         |  UNION
+         |  SELECT b_id AS src, a_id AS dst FROM vpairs),
+         |reach(id, label) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.label FROM edges e JOIN reach r ON r.id = e.dst)
+         |SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash" -> {
       val bitTerms = (0 until Dedup.simhashBits).map { b =>

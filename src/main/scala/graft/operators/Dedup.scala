@@ -270,6 +270,68 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Iteration cap for [[clustersFromPairs]]: min-label propagation
+    * converges in O(component diameter) rounds, and LSH-verified near-dup
+    * components are quasi-cliques (every member pair shared a band bucket
+    * and passed exact-Jaccard verification), so real diameters are 1-3;
+    * the cap is a loud-failure guard against an adversarial long-chain
+    * graph, never a silent truncation ([[clustersFromPairs]] aborts, not
+    * returns, on non-convergence).
+    */
+  val clusterMaxIterations = 20
+
+  /** Transitive dup-CLUSTER resolution over the verified near-dup pairs —
+    * the step pairwise output can't replace: with A~B and B~C but A≁C, a
+    * pair-based "drop the larger id" keeps C; the component {A,B,C} must
+    * dedup to ONE survivor. Pipeline: [[minhashJaccard]] candidates →
+    * connected components → cluster_id = min doc_id of the component.
+    */
+  def dupClusters(doc: DataFrame, minJaccard: Double = 0.5): DataFrame =
+    clustersFromPairs(minhashJaccard(doc, minJaccard).select(col("a_id"), col("b_id")))
+
+  /** Connected components by iterative min-label propagation: each round,
+    * every node takes the min of its own label and its neighbors' labels;
+    * fixpoint = every node labeled with its component's min id. Scale
+    * shape: each round is ONE equi-join (edges ⋈ labels) plus ONE
+    * map-side-partial groupBy — the standard label-propagation round a
+    * 10^12-edge graph runs; rounds = component diameter (tiny here, see
+    * [[clusterMaxIterations]]; a corpus with adversarial diameters would
+    * switch to the O(log n) large-star/small-star alternation, same
+    * per-round plan shape). Each iteration is truncated with an eager
+    * `localCheckpoint` so the plan never grows with the iteration count
+    * (production: a reliable checkpoint dir instead of executor-local
+    * blocks). Deterministic: the fixpoint (min id per component) does not
+    * depend on join or iteration order, so the DuckDB recursive-CTE twin
+    * is exact.
+    */
+  def clustersFromPairs(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionAll(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < clusterMaxIterations) {
+      iters += 1
+      val viaNeighbor = edges
+        .join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .select(col("src").as("id"), col("label"))
+      val updated = labels.unionAll(viaNeighbor)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      changed = updated.join(labels.select(col("id"), col("label").as("prev")), "id")
+        .filter(col("label") < col("prev")).count()
+      labels = updated
+    }
+    require(changed == 0,
+      s"dup-cluster propagation did not converge in $clusterMaxIterations rounds " +
+        "(component diameter exceeds the cap — see clusterMaxIterations scaladoc)")
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** 16-bit SimHash over tokens: bit b set iff the majority of token hashes
     * have bit b set (strict majority; tie -> 0). Token hash = first 4 md5 hex
     * chars as int. Routed through the native one-pass

@@ -742,6 +742,27 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs(0).getDouble(2) > 0.99)
   }
 
+  test("dedup: clusters resolve transitive near-dup chains (connected components)") {
+    import spark.implicits._
+    // A~B, B~C but A!~C: pairwise drop-the-larger keeps C; the component
+    // {1,2,3} must resolve to ONE cluster id (its min). 7-9 is disjoint.
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("a_id", "b_id")
+    val got = Dedup.clustersFromPairs(pairs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L)))
+    // a diameter-4 chain forces multiple propagation rounds to the fixpoint
+    val chain = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L)).toDF("a_id", "b_id")
+    val labels = Dedup.clustersFromPairs(chain).select("cluster_id")
+      .distinct().collect().map(_.getLong(0)).toSeq
+    assert(labels == Seq(10L))
+    // and over the real corpus: every cluster id is a member of its own
+    // cluster and is its minimum (the survivor-selection invariant)
+    val real = Dedup.dupClusters(Transcripts.documents(spark, sfDir))
+    val bad = real.groupBy("cluster_id").agg(min("doc_id").as("lo"))
+      .filter(col("lo") =!= col("cluster_id")).count()
+    assert(bad == 0, "a cluster id is not its component's min doc_id")
+  }
+
   test("dedup: degenerate-block cap drops are observable (graft_caps_* metrics)") {
     // the caps (minhashMaxBucket / simhashMaxBlock / nearDupMaxBucket) are
     // unreachable at test scale, so the contract to pin is OBSERVABILITY:
