@@ -87,6 +87,21 @@ object TrainingQueries {
        |  FROM cand WHERE $jac >= 0.5)""".stripMargin
   }
 
+  /** Shared recursive CTEs over `vpairs` ending in `clusters(id,
+    * cluster_id)` — the connected-components fixpoint (twin of
+    * Dedup.clustersFromPairs; requires WITH RECURSIVE).
+    */
+  private val duckClusterCtes: String =
+    """edges AS (
+      |  SELECT a_id AS src, b_id AS dst FROM vpairs
+      |  UNION
+      |  SELECT b_id AS src, a_id AS dst FROM vpairs),
+      |reach(id, label) AS (
+      |  SELECT DISTINCT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, r.label FROM edges e JOIN reach r ON r.id = e.dst),
+      |clusters AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> ((s, dir) =>
       TextAnalysis.tokenCounts(Transcripts.documents(s, dir)).orderBy("doc_id")),
@@ -165,13 +180,16 @@ object TrainingQueries {
 
     // Composed end-to-end training-data pipeline over the dup-injected
     // corpus: exact dedup (keep smallest id per content hash) -> NEAR-dup
-    // removal (the flagship two-stage minhash-LSH-then-verify dedup: drop
-    // the larger id of every verified pair) -> quality filter (uniq-token
-    // ratio, length) -> language ID -> per-language corpus stats. Plan
-    // shape: one hash-shuffle for the dedup groupBy, the banded equi-join
-    // family for near-dups, one anti-join, one equi-join back for survivor
-    // payloads, one partial-agg groupBy — every stage is the 100 TB shape
-    // of its standalone operator.
+    // removal (the flagship three-stage dedup: minhash-LSH candidates ->
+    // exact-Jaccard verify -> transitive CLUSTER resolution, dropping every
+    // non-min member of each component — a pair-based drop-the-larger-id
+    // misses members that only ever appear as the smaller id of their
+    // pairs) -> quality filter (uniq-token ratio, length) -> language ID ->
+    // per-language corpus stats. Plan shape: one hash-shuffle for the dedup
+    // groupBy, the banded equi-join family for near-dups, O(diameter)
+    // label-propagation rounds for clusters, one anti-join, one equi-join
+    // back for survivor payloads, one partial-agg groupBy — every stage is
+    // the 100 TB shape of its standalone operator.
     "training_pipeline_e2e" -> ((s, dir) => {
       val doc = Transcripts.documents(s, dir)
       val base = Dedup.withInjectedDups(doc)
@@ -179,8 +197,9 @@ object TrainingQueries {
         .groupBy(md5(col("text")).as("h"))
         .agg(min(col("doc_id")).as("doc_id"))
         .select("doc_id")
-      val nearDupLosers = Dedup.minhashJaccard(doc)
-        .select(col("b_id").as("doc_id")).distinct()
+      val nearDupLosers = Dedup.dupClusters(doc)
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select("doc_id")
       val t = TextAnalysis.tokens(col("text"))
       base.join(keepers, Seq("doc_id"))
         .join(nearDupLosers, Seq("doc_id"), "left_anti")
@@ -310,16 +329,9 @@ object TrainingQueries {
       // component min per node is the cluster id — the same fixpoint the
       // Spark min-label propagation converges to
       s"""WITH RECURSIVE $duckVerifiedPairCtes,
-         |edges AS (
-         |  SELECT a_id AS src, b_id AS dst FROM vpairs
-         |  UNION
-         |  SELECT b_id AS src, a_id AS dst FROM vpairs),
-         |reach(id, label) AS (
-         |  SELECT DISTINCT src, src FROM edges
-         |  UNION
-         |  SELECT e.src, r.label FROM edges e JOIN reach r ON r.id = e.dst)
-         |SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
-         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+         |$duckClusterCtes
+         |SELECT CAST(id AS BIGINT) AS doc_id, CAST(cluster_id AS BIGINT) AS cluster_id
+         |FROM clusters ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash" -> {
       val bitTerms = (0 until Dedup.simhashBits).map { b =>
@@ -483,24 +495,10 @@ object TrainingQueries {
         val inList = words.map(w => s"'$w'").mkString(", ")
         s"len(list_filter(string_split(text, ' '), x -> x IN ($inList))) AS c_$lang"
       }.mkString(",\n    ")
-      val jac =
-        """round(len(list_intersect(a_grams, b_grams)) * 1.0 /
-          |        (len(a_grams) + len(b_grams) - len(list_intersect(a_grams, b_grams))), 4)""".stripMargin
-      s"""WITH base AS $duckDupBase,
+      s"""WITH RECURSIVE $duckVerifiedPairCtes,
+         |$duckClusterCtes,
          |k AS (SELECT md5(text) AS h, min(doc_id) AS doc_id FROM base GROUP BY 1),
-         |g AS (
-         |  SELECT doc_id, $duckShingles AS grams
-         |  FROM base WHERE len(string_split(text, ' ')) >= 3),
-         |h2 AS (SELECT doc_id, grams, $duckHcat AS hcat FROM g),
-         |sig AS (
-         |  SELECT doc_id, grams,
-         |  $duckBandExprs
-         |  FROM h2),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-         |    a.grams AS a_grams, b.grams AS b_grams
-         |  FROM sig a JOIN sig b ON ($duckAnyBand) AND a.doc_id < b.doc_id),
-         |loser AS (SELECT DISTINCT b_id AS doc_id FROM cand WHERE $jac >= 0.5),
+         |loser AS (SELECT id AS doc_id FROM clusters WHERE id <> cluster_id),
          |j AS (SELECT b.doc_id, b.text FROM base b JOIN k ON b.doc_id = k.doc_id
          |      WHERE b.doc_id NOT IN (SELECT doc_id FROM loser)),
          |s AS (

@@ -763,6 +763,36 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad == 0, "a cluster id is not its component's min doc_id")
   }
 
+  test("dedup: clusters equal brute-force union-find on seeded random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 8) {
+      val n = 5 + rnd.nextInt(40)
+      val pairs = Seq.fill(1 + rnd.nextInt(2 * n)) {
+        val a = rnd.nextInt(n).toLong
+        val b0 = rnd.nextInt(n).toLong
+        val b = if (a == b0) (a + 1) % n else b0
+        (math.min(a, b), math.max(a, b))
+      }.distinct
+      // reference: union-find attaching the larger root under the smaller,
+      // so every final root is its component's min — the operator's contract
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        .map(x => (x, find(x))).sortBy(_._1)
+      val got = Dedup.clustersFromPairs(pairs.toDF("a_id", "b_id"))
+        .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == expected, s"trial $trial (${pairs.size} edges): $got != $expected")
+    }
+  }
+
   test("dedup: degenerate-block cap drops are observable (graft_caps_* metrics)") {
     // the caps (minhashMaxBucket / simhashMaxBlock / nearDupMaxBucket) are
     // unreachable at test scale, so the contract to pin is OBSERVABILITY:
