@@ -319,12 +319,18 @@ object Dedup {
       val viaNeighbor = edges
         .join(labels.select(col("id").as("dst"), col("label")), "dst")
         .select(col("src").as("id"), col("label"))
-      val updated = labels.unionAll(viaNeighbor)
-        .groupBy("id").agg(min("label").as("label"))
+      // the convergence check rides the propagation groupBy: `prev` (the
+      // node's old label — every node has exactly one labels row, so
+      // min(prev) over the group recovers it past the sentinel on neighbor
+      // rows) materializes alongside `label`, and the changed-count is a
+      // cheap scan of the checkpointed blocks instead of a second
+      // join+shuffle per round
+      val step = labels.withColumn("prev", col("label"))
+        .unionAll(viaNeighbor.withColumn("prev", lit(Long.MaxValue)))
+        .groupBy("id").agg(min("label").as("label"), min("prev").as("prev"))
         .localCheckpoint(true)
-      changed = updated.join(labels.select(col("id"), col("label").as("prev")), "id")
-        .filter(col("label") < col("prev")).count()
-      labels = updated
+      changed = step.filter(col("label") < col("prev")).count()
+      labels = step.select("id", "label")
     }
     require(changed == 0,
       s"dup-cluster propagation did not converge in $clusterMaxIterations rounds " +
