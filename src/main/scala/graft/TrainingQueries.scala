@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.spark.Transcripts
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -131,6 +131,11 @@ object TrainingQueries {
     // verified pairs (min-label propagation; cluster_id = component min)
     "dedup_clusters" -> ((s, dir) =>
       Dedup.dupClusters(Transcripts.documents(s, dir)).orderBy("doc_id")),
+
+    // deterministic mixture-weighting sample: per-language Bernoulli keep
+    // rates decided by a salted hash of doc_id (narrow filter, no shuffle)
+    "sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedSample(Transcripts.documents(s, dir)).orderBy("doc_id")),
 
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(Transcripts.documents(s, dir)).orderBy("doc_id")),
@@ -332,6 +337,37 @@ object TrainingQueries {
          |$duckClusterCtes
          |SELECT CAST(id AS BIGINT) AS doc_id, CAST(cluster_id AS BIGINT) AS cluster_id
          |FROM clusters ORDER BY doc_id""".stripMargin,
+
+    "sample_stratified" -> {
+      val counts = TextAnalysis.langStopwords.map { case (lang, words) =>
+        val inList = words.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(string_split(text, ' '), x -> x IN ($inList))) AS c_$lang"
+      }.mkString(",\n    ")
+      val rateCase = Sampling.defaultRates.toSeq.sortBy(_._1)
+        .map { case (lang, r) => s"WHEN '$lang' THEN $r" }
+        .mkString("CASE predicted ", " ", " ELSE 0.0 END")
+      s"""WITH s AS (
+         |  SELECT doc_id, text,
+         |    $counts
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id,
+         |    CASE
+         |      WHEN c_en = 0 AND c_de = 0 AND c_es = 0 AND c_fr = 0 THEN 'und'
+         |      WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+         |      WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
+         |      WHEN c_es >= c_fr THEN 'es'
+         |      ELSE 'fr' END AS predicted
+         |  FROM s),
+         |h AS (
+         |  SELECT doc_id, predicted,
+         |    CAST('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+         |      * 1.0 / 4294967296 AS u
+         |  FROM p)
+         |SELECT doc_id, predicted, u FROM h
+         |WHERE u < $rateCase
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "dedup_simhash" -> {
       val bitTerms = (0 until Dedup.simhashBits).map { b =>

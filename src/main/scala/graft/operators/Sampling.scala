@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data mixture weighting: keep each
+  * document with a per-stratum (here: per-language) rate, decided by a
+  * salted content-free hash of the document id — the step a corpus mix
+  * ("50% en, 25% fr, ...") needs between filtering and tokenization.
+  *
+  * Scale shape: a PURE NARROW FILTER — no shuffle, no state, pushdown and
+  * pruning intact (plan-pinned), so it composes anywhere in a 100 TB
+  * pipeline at scan speed. Properties the hash-threshold form gives for
+  * free (both spec-pinned):
+  *   - reproducible: same salt -> same sample, any cluster size, any run;
+  *   - NESTED: for the same salt, a rate-r1 sample is a SUBSET of a
+  *     rate-r2 sample whenever r1 <= r2 — the scaling-law ladder property
+  *     (the 10% corpus is inside the 50% corpus, so loss curves are
+  *     comparable);
+  *   - independent across salts: a new salt draws a fresh sample.
+  *
+  * Everything is md5-based and oracle-exact (DuckDB twin computes the same
+  * uniform from the same hash).
+  */
+object Sampling {
+
+  /** Deterministic uniform in [0,1): the first 8 md5 hex chars of
+    * "salt:id" as a 32-bit integer, divided by 2^32 (exact in a double —
+    * the division is by a power of two, so Spark and DuckDB agree
+    * bit-for-bit).
+    */
+  def uniformHash(salt: String, id: Column): Column =
+    conv(substring(md5(concat(lit(salt), lit(":"), id.cast("string"))), 1, 8), 16, 10)
+      .cast("long").cast("double") / lit(4294967296.0)
+
+  /** The demo mixture: per-language keep rates (a real pipeline feeds its
+    * mixture spec here).
+    */
+  val defaultRates: Map[String, Double] =
+    Map("en" -> 0.5, "de" -> 0.75, "es" -> 1.0, "fr" -> 0.25, "und" -> 0.1)
+
+  /** Per-row keep rate for a predicted-language column. Rates are applied
+    * in sorted-key order (deterministic plan); unlisted strata default to
+    * 0 (dropped) — an explicit mixture lists every stratum it wants.
+    */
+  def rateFor(predicted: Column, rates: Map[String, Double]): Column =
+    rates.toSeq.sortBy(_._1).foldLeft(lit(0.0)) { case (acc, (lang, r)) =>
+      when(predicted === lang, lit(r)).otherwise(acc)
+    }
+
+  /** Stratified Bernoulli sample of the documents table by predicted
+    * language: keep iff uniformHash(salt, doc_id) < rate(language).
+    * Returns (doc_id, predicted, u) for the kept rows.
+    */
+  def stratifiedSample(
+      doc: DataFrame,
+      rates: Map[String, Double] = defaultRates,
+      salt: String = "graft"
+  ): DataFrame = {
+    val u = uniformHash(salt, col("doc_id"))
+    doc
+      .select(col("doc_id"), TextAnalysis.langPredicted.as("predicted"), u.as("u"))
+      // u = k / 2^32 is exact in a double (power-of-two divisor), so it is
+      // emitted unrounded — Spark and DuckDB produce bit-identical float64s
+      .filter(col("u") < rateFor(col("predicted"), rates))
+  }
+}

@@ -742,6 +742,30 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs(0).getDouble(2) > 0.99)
   }
 
+  test("sampling: stratified sample is deterministic, nested across rates, narrow") {
+    import graft.operators.Sampling
+    val doc = Transcripts.documents(spark, sfDir)
+    def ids(rates: Map[String, Double], salt: String = "graft"): Set[Long] =
+      Sampling.stratifiedSample(doc, rates, salt)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val full = ids(Sampling.defaultRates)
+    // deterministic: the same salt reproduces the same sample exactly
+    assert(ids(Sampling.defaultRates) == full)
+    // nested: halving every rate yields a SUBSET (the scaling-law ladder
+    // property — u < rate is monotone in rate for a fixed salt)
+    val half = ids(Sampling.defaultRates.view.mapValues(_ / 2).toMap)
+    assert(half.subsetOf(full) && half.size < full.size)
+    // rates actually stratify: an all-1.0 mixture keeps everything
+    val all = ids(Sampling.defaultRates.keySet.map(_ -> 1.0).toMap)
+    assert(all.size == doc.count())
+    // a different salt draws a genuinely different sample
+    assert(ids(Sampling.defaultRates, salt = "other") != full)
+    // and the plan is a narrow filter: NO Exchange anywhere
+    val plan = Sampling.stratifiedSample(doc)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"plan:\n$plan")
+  }
+
   test("dedup: clusters resolve transitive near-dup chains (connected components)") {
     import spark.implicits._
     // A~B, B~C but A!~C: pairwise drop-the-larger keeps C; the component
