@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import graft.spark.Transcripts
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -136,6 +136,11 @@ object TrainingQueries {
     // rates decided by a salted hash of doc_id (narrow filter, no shuffle)
     "sample_stratified" -> ((s, dir) =>
       Sampling.stratifiedSample(Transcripts.documents(s, dir)).orderBy("doc_id")),
+
+    // context packing: prefix-sum pack assignment within (language, shard)
+    // strata — one shuffle, shard-local contexts by construction
+    "pack_contexts" -> ((s, dir) =>
+      Packing.packContexts(Transcripts.documents(s, dir)).orderBy("doc_id")),
 
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(Transcripts.documents(s, dir)).orderBy("doc_id")),
@@ -367,6 +372,38 @@ object TrainingQueries {
          |SELECT doc_id, predicted, u FROM h
          |WHERE u < $rateCase
          |ORDER BY doc_id""".stripMargin
+    },
+
+    "pack_contexts" -> {
+      val counts = TextAnalysis.langStopwords.map { case (lang, words) =>
+        val inList = words.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(string_split(text, ' '), x -> x IN ($inList))) AS c_$lang"
+      }.mkString(",\n    ")
+      s"""WITH s AS (
+         |  SELECT doc_id, text,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    $counts
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, n_tokens,
+         |    CASE
+         |      WHEN c_en = 0 AND c_de = 0 AND c_es = 0 AND c_fr = 0 THEN 'und'
+         |      WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+         |      WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
+         |      WHEN c_es >= c_fr THEN 'es'
+         |      ELSE 'fr' END AS predicted,
+         |    CAST(doc_id % ${Packing.packShards} AS INTEGER) AS shard
+         |  FROM s),
+         |c AS (
+         |  SELECT *,
+         |    COALESCE(sum(n_tokens) OVER (
+         |      PARTITION BY predicted, shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_cum
+         |  FROM p)
+         |SELECT doc_id, predicted, shard, n_tokens,
+         |  CAST(prev_cum // ${Packing.packBudget} AS BIGINT) AS pack_id,
+         |  CAST(prev_cum % ${Packing.packBudget} AS BIGINT) AS pack_offset
+         |FROM c ORDER BY doc_id""".stripMargin
     },
 
     "dedup_simhash" -> {

@@ -766,6 +766,36 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange"), s"plan:\n$plan")
   }
 
+  test("packing: prefix-sum pack assignment is consistent and one-shuffle") {
+    import graft.operators.Packing
+    val doc = Transcripts.documents(spark, sfDir)
+    val packed = Packing.packContexts(doc).cache()
+    // every document reconstructs its running start: pack_id * budget +
+    // offset = sum of n_tokens of earlier docs in its (stratum, shard)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("predicted"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bad = packed
+      .withColumn("expect", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("pack_id") * Packing.packBudget + col("pack_offset") =!= col("expect"))
+      .count()
+    assert(bad == 0)
+    // offsets stay inside the budget, pack ids never decrease along doc_id
+    assert(packed.filter(col("pack_offset") >= Packing.packBudget).count() == 0)
+    val disordered = packed
+      .withColumn("prev_pack", lag(col("pack_id"), 1).over(
+        Window.partitionBy(col("predicted"), col("shard")).orderBy(col("doc_id"))))
+      .filter(col("prev_pack") > col("pack_id")).count()
+    assert(disordered == 0)
+    // contexts fill: at this scale most packs carry more than one document
+    val multi = packed.groupBy("predicted", "shard", "pack_id").count()
+    assert(multi.filter(col("count") >= 2).count() > multi.count() / 2)
+    packed.unpersist()
+    // plan: exactly ONE Exchange — the (stratum, shard) window partition
+    val plan = Packing.packContexts(doc).queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllMatchIn(plan).length == 1, s"plan:\n$plan")
+  }
+
   test("dedup: clusters resolve transitive near-dup chains (connected components)") {
     import spark.implicits._
     // A~B, B~C but A!~C: pairwise drop-the-larger keeps C; the component
