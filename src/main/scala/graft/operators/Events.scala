@@ -150,8 +150,10 @@ object Events {
     * state-per-user ≙ the reference's in-flight request map O19, upgraded to
     * event-time session logic). Gap semantics match [[sessionize]] exactly:
     * epoch-second truncation, strict `> gap`. Assumes per-user event-time
-    * order across micro-batches (single-batch in tests; at scale the input
-    * would be time-bucketed so each batch is a closed time range).
+    * order across micro-batches — the deployment contract is TIME-BUCKETED
+    * input (each batch a closed time range), which is spec-pinned both
+    * single-batch and with a two-batch median-split input carrying state
+    * across the boundary.
     */
   def sessionizeWithState(
       spark: SparkSession,

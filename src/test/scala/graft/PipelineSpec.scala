@@ -401,6 +401,44 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch)
   }
 
+  test("streaming: stateful sessionization survives TIME-BUCKETED multi-batch input") {
+    import graft.operators.Events
+    // the operator's documented contract: per-user event-time order ACROSS
+    // micro-batches, realized by time-bucketing the input (each batch is a
+    // closed time range). Split the table at its median timestamp into two
+    // files -> two AvailableNow batches; per-user state must carry the
+    // last-event/session counters across the boundary and still equal the
+    // batch analytic window.
+    val base = tmpDir("graft_sess2_")
+    val ev = Events.events(spark, sfDir)
+    val cutSec = ev.select(unix_timestamp(col("ts")).cast("double").as("s"))
+      .stat.approxQuantile("s", Array(0.5), 0.0)(0)
+    val cutTs = new java.sql.Timestamp(cutSec.toLong * 1000L)
+    ev.filter(col("ts") <= lit(cutTs)).coalesce(1)
+      .write.mode("overwrite").parquet(s"$base/in")
+    val first = parquetFiles(s"$base/in")
+    ev.filter(col("ts") > lit(cutTs)).coalesce(1)
+      .write.mode("append").parquet(s"$base/in")
+    orderBatches(s"$base/in", first)
+    val stream = spark.readStream.schema(Events.eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/in")
+    val q = Events.sessionizeWithState(spark, stream).writeStream
+      .format("memory").queryName("sessions_stream2")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "input did not split into multiple micro-batches")
+    val streamed = spark.table("sessions_stream2")
+      .groupBy("user_id") // counters are cumulative: last update = totals
+      .agg(max("n_events").as("n_events"), max("n_sessions").as("n_sessions"))
+      .orderBy("user_id").collect().toSeq
+    val batch = Events.sessionize(ev).orderBy("user_id").collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("skew: AQE splits a skewed join partition (north-rule skew-join mitigation)") {
     import spark.implicits._
     // one scorching key ('hot', 20k long rows) among 200 cold keys — the
