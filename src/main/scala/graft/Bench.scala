@@ -63,6 +63,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.operators.Dedup.registerCapLogger(s) // cap drops are never silent
     s
   }
 

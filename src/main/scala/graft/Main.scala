@@ -64,6 +64,8 @@ object Main {
           .getOrCreate()
       else builder.getOrCreate()
 
+    graft.operators.Dedup.registerCapLogger(spark) // cap drops are never silent
+
     val transcripts =
       if (input.startsWith("table:")) spark.read.table(input.stripPrefix("table:"))
       else if (input.startsWith("derive:"))

@@ -62,6 +62,28 @@ object TrainingQueries {
     s"""list_sum(list_transform(range(1, 65),
        |  n -> CAST(embedding[n] AS DOUBLE) * (CASE WHEN (n * ${j + 3}) % 7 <= 3 THEN 1.0 ELSE -1.0 END)))""".stripMargin
 
+  /** DuckDB twin of TextAnalysis.langScores: per-language stopword-hit
+    * counts over `text` as columns c_en..c_fr (cast to INTEGER when the
+    * counts are themselves output columns). ONE definition feeding every
+    * language-classifying oracle — a stopword-list or tiebreak change now
+    * syncs all twins at once instead of hand-editing four SQL copies.
+    */
+  private def duckLangCounts(castInt: Boolean = false): String =
+    TextAnalysis.langStopwords.map { case (lang, words) =>
+      val inList = words.map(w => s"'$w'").mkString(", ")
+      val c = s"len(list_filter(string_split(text, ' '), x -> x IN ($inList)))"
+      (if (castInt) s"CAST($c AS INTEGER)" else c) + s" AS c_$lang"
+    }.mkString(",\n    ")
+
+  /** DuckDB twin of TextAnalysis.langPredicted (identical tiebreak order). */
+  private val duckLangCase: String =
+    """CASE
+      |      WHEN c_en = 0 AND c_de = 0 AND c_es = 0 AND c_fr = 0 THEN 'und'
+      |      WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+      |      WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
+      |      WHEN c_es >= c_fr THEN 'es'
+      |      ELSE 'fr' END""".stripMargin
+
   /** Shared CTE chain ending in `vpairs(a_id, b_id, jaccard)` — the
     * verified minhash near-dup pairs (twin of Dedup.minhashJaccard), used
     * by both the verify oracle and the cluster oracle's recursion base.
@@ -272,21 +294,11 @@ object TrainingQueries {
         |        / len(string_split(text, ' ')), 4) AS uniq_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "text_langid" -> {
-      val counts = TextAnalysis.langStopwords.map { case (lang, words) =>
-        val inList = words.map(w => s"'$w'").mkString(", ")
-        s"CAST(len(list_filter(string_split(text, ' '), x -> x IN ($inList))) AS INTEGER) AS c_$lang"
-      }.mkString(",\n  ")
-      s"""WITH c AS (SELECT doc_id, $counts FROM documents)
+    "text_langid" ->
+      s"""WITH c AS (SELECT doc_id, ${duckLangCounts(castInt = true)} FROM documents)
          |SELECT doc_id, c_en, c_de, c_es, c_fr,
-         |  CASE
-         |    WHEN c_en = 0 AND c_de = 0 AND c_es = 0 AND c_fr = 0 THEN 'und'
-         |    WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
-         |    WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
-         |    WHEN c_es >= c_fr THEN 'es'
-         |    ELSE 'fr' END AS predicted
-         |FROM c ORDER BY doc_id""".stripMargin
-    },
+         |  $duckLangCase AS predicted
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id, md5(replace(text, ' ', '')) AS fp,
@@ -344,25 +356,16 @@ object TrainingQueries {
          |FROM clusters ORDER BY doc_id""".stripMargin,
 
     "sample_stratified" -> {
-      val counts = TextAnalysis.langStopwords.map { case (lang, words) =>
-        val inList = words.map(w => s"'$w'").mkString(", ")
-        s"len(list_filter(string_split(text, ' '), x -> x IN ($inList))) AS c_$lang"
-      }.mkString(",\n    ")
       val rateCase = Sampling.defaultRates.toSeq.sortBy(_._1)
         .map { case (lang, r) => s"WHEN '$lang' THEN $r" }
         .mkString("CASE predicted ", " ", " ELSE 0.0 END")
       s"""WITH s AS (
          |  SELECT doc_id, text,
-         |    $counts
+         |    ${duckLangCounts()}
          |  FROM documents),
          |p AS (
          |  SELECT doc_id,
-         |    CASE
-         |      WHEN c_en = 0 AND c_de = 0 AND c_es = 0 AND c_fr = 0 THEN 'und'
-         |      WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
-         |      WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
-         |      WHEN c_es >= c_fr THEN 'es'
-         |      ELSE 'fr' END AS predicted
+         |    $duckLangCase AS predicted
          |  FROM s),
          |h AS (
          |  SELECT doc_id, predicted,
@@ -374,24 +377,15 @@ object TrainingQueries {
          |ORDER BY doc_id""".stripMargin
     },
 
-    "pack_contexts" -> {
-      val counts = TextAnalysis.langStopwords.map { case (lang, words) =>
-        val inList = words.map(w => s"'$w'").mkString(", ")
-        s"len(list_filter(string_split(text, ' '), x -> x IN ($inList))) AS c_$lang"
-      }.mkString(",\n    ")
+    "pack_contexts" ->
       s"""WITH s AS (
          |  SELECT doc_id, text,
          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-         |    $counts
+         |    ${duckLangCounts()}
          |  FROM documents),
          |p AS (
          |  SELECT doc_id, n_tokens,
-         |    CASE
-         |      WHEN c_en = 0 AND c_de = 0 AND c_es = 0 AND c_fr = 0 THEN 'und'
-         |      WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
-         |      WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
-         |      WHEN c_es >= c_fr THEN 'es'
-         |      ELSE 'fr' END AS predicted,
+         |    $duckLangCase AS predicted,
          |    CAST(doc_id % ${Packing.packShards} AS INTEGER) AS shard
          |  FROM s),
          |c AS (
@@ -403,8 +397,7 @@ object TrainingQueries {
          |SELECT doc_id, predicted, shard, n_tokens,
          |  CAST(prev_cum // ${Packing.packBudget} AS BIGINT) AS pack_id,
          |  CAST(prev_cum % ${Packing.packBudget} AS BIGINT) AS pack_offset
-         |FROM c ORDER BY doc_id""".stripMargin
-    },
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash" -> {
       val bitTerms = (0 until Dedup.simhashBits).map { b =>

@@ -14,6 +14,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // surface any graft_caps_* degenerate-block drop as a warning — a
+    // cap-triggered divergence from the uncapped oracles must never be
+    // silent in the run that feeds the DuckDB compare
+    graft.operators.Dedup.registerCapLogger(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -524,14 +524,20 @@ object Dedup {
     * banding projection (96 plane dots per row, the expensive map) runs
     * exactly once, rows explode on (band_idx, band_val), each bucket
     * collects its (vec_id, emb, na) structs, and sorted in-bucket pairs
-    * are generated by an array expression — no self-join (the earlier
+    * are generated by CHAINED explodes — no self-join (the earlier
     * two-sided join re-computed the banding over the whole corpus for each
-    * side; pinned gone by a single-scan plan test). The per-pair cosine
-    * runs AFTER the explode in a codegen'd projection (native `vecDot`),
-    * with squared norms computed once per row before the shuffle; `distinct`
-    * collapses pairs that agree on several bands. Buckets above
+    * side; pinned gone by a single-scan plan test). Pair generation is
+    * STREAMED: posexplode anchors each left element, a second explode
+    * emits its right partners from a slice — transient memory per task is
+    * O(bucket), never the O(bucket^2) a flattened pair array with embedded
+    * embeddings would materialize as one value (at the cap that array
+    * would be ~55 GB; the streamed form peaks at one slice). The per-pair
+    * cosine runs in the post-explode codegen'd projection (native
+    * `vecDot`), with squared norms computed once per row before the
+    * shuffle, and the bucket column is dropped before `distinct`'s
+    * exchange so only (a_id, b_id, cos) ever shuffles. Buckets above
     * [[nearDupMaxBucket]] are dropped whole (observable, see
-    * [[registerCapLogger]]); hot-but-legal buckets are AQE's job.
+    * [[registerCapLogger]]).
     */
   def nearDupPairs(base: DataFrame, minCos: Double): DataFrame = {
     import graft.spark.VectorFunctions.vecDot
@@ -546,18 +552,15 @@ object Dedup {
       .agg(array_sort(collect_list(struct(col("vec_id"), col("emb"), col("na")))).as("vs"))
     val pairs = observeCapDrops(buckets, "neardup", size(col("vs")), nearDupMaxBucket)
       .filter(size(col("vs")) > 1 && size(col("vs")) <= nearDupMaxBucket)
-      .select(explode(expr(
-        """flatten(transform(vs, (x, i) ->
-          |  transform(slice(vs, i + 2, size(vs)), y ->
-          |    named_struct('a_id', x.vec_id, 'b_id', y.vec_id,
-          |                 'a_emb', x.emb, 'b_emb', y.emb,
-          |                 'a_na', x.na, 'b_na', y.na))))""".stripMargin)).as("p"))
-    val dot = vecDot(col("p.a_emb"), col("p.b_emb"))
+      .select(col("vs"), posexplode(col("vs")).as(Seq("i", "a")))
+      // slice is 1-based: position i (0-based) -> partners start at i + 2
+      .select(col("a"), explode(expr("slice(vs, i + 2, size(vs))")).as("b"))
+    val dot = vecDot(col("a.emb"), col("b.emb"))
     pairs
       .select(
-        col("p.a_id").as("a_id"),
-        col("p.b_id").as("b_id"),
-        round(dot / sqrt(col("p.a_na") * col("p.b_na")), 6).as("cos"))
+        col("a.vec_id").as("a_id"),
+        col("b.vec_id").as("b_id"),
+        round(dot / sqrt(col("a.na") * col("b.na")), 6).as("cos"))
       .filter(col("cos") >= minCos)
       .distinct()
   }
