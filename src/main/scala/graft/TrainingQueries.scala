@@ -164,6 +164,15 @@ object TrainingQueries {
     "pack_contexts" -> ((s, dir) =>
       Packing.packContexts(Transcripts.documents(s, dir)).orderBy("doc_id")),
 
+    // benchmark decontamination: drop docs sharing any 3-gram shingle with
+    // the held-out eval set (broadcast map-side join, no corpus shuffle)
+    "decontaminate" -> ((s, dir) => {
+      val doc = Transcripts.documents(s, dir)
+      Sampling.decontaminate(doc, Sampling.evalHoldout(doc))
+        .select(col("doc_id"), length(col("text")).cast("int").as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(Transcripts.documents(s, dir)).orderBy("doc_id")),
 
@@ -398,6 +407,20 @@ object TrainingQueries {
          |  CAST(prev_cum // ${Packing.packBudget} AS BIGINT) AS pack_id,
          |  CAST(prev_cum % ${Packing.packBudget} AS BIGINT) AS pack_offset
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    "decontaminate" ->
+      s"""WITH ev AS (
+         |  SELECT DISTINCT unnest($duckShingles) AS shingle
+         |  FROM documents
+         |  WHERE doc_id % 97 = 0 AND len(string_split(text, ' ')) >= 3),
+         |tr AS (
+         |  SELECT doc_id, unnest($duckShingles) AS shingle
+         |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+         |bad AS (SELECT DISTINCT tr.doc_id FROM tr JOIN ev USING (shingle))
+         |SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars
+         |FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+         |ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash" -> {
       val bitTerms = (0 until Dedup.simhashBits).map { b =>

@@ -64,4 +64,37 @@ object Sampling {
       // emitted unrounded — Spark and DuckDB produce bit-identical float64s
       .filter(col("u") < rateFor(col("predicted"), rates))
   }
+
+  /** Benchmark DECONTAMINATION: drop every training document sharing at
+    * least one word-3-gram shingle with the evaluation corpus — the
+    * pre-training hygiene step that keeps eval benchmarks out of the
+    * training mix (n-gram-overlap decontamination in the GPT-3/PaLM
+    * tradition).
+    *
+    * Scale shape: the eval shingle set is tiny next to a 100 TB corpus, so
+    * it is explicitly `broadcast()` — contamination detection becomes a
+    * MAP-SIDE hash join against the corpus's exploded shingles (no
+    * corpus-wide shuffle; plan-pinned BroadcastHashJoin), followed by one
+    * anti-join of the small contaminated-id set back onto the corpus.
+    * Documents too short to shingle (< 3 tokens) cannot match and always
+    * survive — both engines agree by construction.
+    */
+  def decontaminate(doc: DataFrame, evalDocs: DataFrame): DataFrame = {
+    val evalShingles = evalDocs
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(explode(Dedup.shingles(col("text"))).as("shingle"))
+      .distinct()
+    val contaminated = doc
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("shingle"))
+      .join(broadcast(evalShingles), Seq("shingle"))
+      .select("doc_id").distinct()
+    doc.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+  }
+
+  /** The held-out "eval set" for the oracle query: every 97th document —
+    * a deterministic stand-in for a real benchmark table.
+    */
+  def evalHoldout(doc: DataFrame): DataFrame =
+    doc.filter(pmod(col("doc_id"), lit(97)) === 0)
 }

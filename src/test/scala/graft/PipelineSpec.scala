@@ -804,6 +804,32 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange"), s"plan:\n$plan")
   }
 
+  test("decontamination: shingle overlap drops docs, broadcast map-side plan") {
+    import graft.operators.Sampling
+    import spark.implicits._
+    // synthetic: doc 1 embeds the eval 3-gram "a b c", doc 2 shares no
+    // 3-gram (even though it shares words), doc 3 is too short to shingle
+    val evalDocs = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "x a b c y"),
+      (2L, "a x b y c"),
+      (3L, "a b")).toDF("doc_id", "text")
+    val kept = Sampling.decontaminate(train, evalDocs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+    // the eval set removes ITSELF from the corpus (eval docs share all
+    // their shingles with the eval set by definition)
+    val doc = Transcripts.documents(spark, sfDir)
+    val cleaned = Sampling.decontaminate(doc, Sampling.evalHoldout(doc))
+    assert(cleaned.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .filter(size(split(col("text"), " ")) >= 3).count() == 0)
+    // contamination detection is a BROADCAST hash join (no corpus-wide
+    // shuffle for the probe side)
+    val plan = Sampling.decontaminate(doc, Sampling.evalHoldout(doc))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+  }
+
   test("packing: prefix-sum pack assignment is consistent and one-shuffle") {
     import graft.operators.Packing
     val doc = Transcripts.documents(spark, sfDir)
