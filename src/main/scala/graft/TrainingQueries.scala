@@ -137,6 +137,11 @@ object TrainingQueries {
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(Transcripts.documents(s, dir)).orderBy("doc_id")),
 
+    // PII scrubbing over the injected corpus: redaction counts + scrubbed
+    // fingerprint (pure narrow map)
+    "text_scrub_pii" -> ((s, dir) =>
+      TextAnalysis.scrubPii(Transcripts.documents(s, dir)).orderBy("doc_id")),
+
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(Transcripts.documents(s, dir)).orderBy("h")),
 
@@ -407,6 +412,30 @@ object TrainingQueries {
          |  CAST(prev_cum // ${Packing.packBudget} AS BIGINT) AS pack_id,
          |  CAST(prev_cum % ${Packing.packBudget} AS BIGINT) AS pack_offset
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    "text_scrub_pii" -> {
+      import graft.operators.TextAnalysis.{emailPattern, phonePattern}
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0
+         |      THEN text || ' contact bob.' || CAST(doc_id AS VARCHAR) || '@mail.example.com asap'
+         |      ELSE text END AS t1
+         |  FROM documents),
+         |inj AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 11 = 0 THEN t1 || ' call 555-123-4567 now' ELSE t1 END AS text
+         |  FROM b),
+         |s AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '$emailPattern')) AS INTEGER) AS n_emails,
+         |    CAST(len(regexp_extract_all(text, '$phonePattern')) AS INTEGER) AS n_phones,
+         |    regexp_replace(regexp_replace(text, '$emailPattern', '<EMAIL>', 'g'),
+         |      '$phonePattern', '<PHONE>', 'g') AS scrubbed
+         |  FROM inj)
+         |SELECT doc_id, n_emails, n_phones, md5(scrubbed) AS scrubbed_fp,
+         |  CAST(length(scrubbed) AS INTEGER) AS n_chars_scrubbed
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
 
     "decontaminate" ->
       s"""WITH ev AS (

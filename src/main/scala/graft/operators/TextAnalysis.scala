@@ -118,4 +118,43 @@ object TextAnalysis {
       md5(regexp_replace(col("text"), " ", "")).as("fp"),
       rollingHash(col("text")).cast("long").as("rolling_fp"),
       length(regexp_replace(col("text"), " ", "")).cast("int").as("n_chars_norm"))
+
+  /** PII patterns for [[scrubPii]] — restricted to character classes and
+    * counted quantifiers, which Java regex (Spark) and RE2 (DuckDB)
+    * interpret identically, so the oracle twin is exact.
+    */
+  val emailPattern = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+"
+  val phonePattern = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** The PII-injected corpus: every 7th document gains a doc_id-derived
+    * email, every 11th a phone number — deterministic guaranteed positives
+    * for the scrubber (the [[Dedup.withInjectedDups]] pattern).
+    */
+  def withInjectedPii(doc: DataFrame): DataFrame = {
+    val withEmail = when(pmod(col("doc_id"), lit(7)) === 0,
+      concat(col("text"), lit(" contact bob."), col("doc_id").cast("string"),
+        lit("@mail.example.com asap"))).otherwise(col("text"))
+    doc.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(11)) === 0,
+        concat(withEmail, lit(" call 555-123-4567 now")))
+        .otherwise(withEmail).as("text"))
+  }
+
+  /** PII scrubbing: redact emails and phone numbers to typed placeholder
+    * tokens — the privacy-hygiene pass training corpora run before
+    * tokenization. A PURE NARROW MAP (codegen'd regexes, no shuffle,
+    * plan-pinned); emits per-doc redaction counts so corpus-level PII
+    * rates are one aggregation away.
+    */
+  def scrubPii(doc: DataFrame): DataFrame = {
+    val scrubbed = regexp_replace(
+      regexp_replace(col("text"), emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
+    withInjectedPii(doc).select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(emailPattern)).cast("int").as("n_emails"),
+      regexp_count(col("text"), lit(phonePattern)).cast("int").as("n_phones"),
+      md5(scrubbed).as("scrubbed_fp"),
+      length(scrubbed).cast("int").as("n_chars_scrubbed"))
+  }
 }

@@ -804,6 +804,36 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange"), s"plan:\n$plan")
   }
 
+  test("pii: scrubber redacts every injected email/phone, narrow plan") {
+    import graft.operators.TextAnalysis
+    val doc = Transcripts.documents(spark, sfDir)
+    val injected = TextAnalysis.withInjectedPii(doc)
+    // every injected doc is counted...
+    val s = TextAnalysis.scrubPii(doc).cache()
+    assert(s.filter(pmod(col("doc_id"), lit(7)) === 0 && col("n_emails") < 1).count() == 0)
+    assert(s.filter(pmod(col("doc_id"), lit(11)) === 0 && col("n_phones") < 1).count() == 0)
+    // ...and the scrubbed text carries no surviving match
+    val residual = injected.select(
+      regexp_count(
+        regexp_replace(
+          regexp_replace(col("text"), TextAnalysis.emailPattern, "<EMAIL>"),
+          TextAnalysis.phonePattern, "<PHONE>"),
+        lit(TextAnalysis.emailPattern)).as("e"))
+      .filter(col("e") > 0).count()
+    assert(residual == 0)
+    // untouched docs keep their original fingerprint
+    val unchanged = s
+      .join(doc.select(col("doc_id"), md5(col("text")).as("orig_fp")), Seq("doc_id"))
+      .filter(pmod(col("doc_id"), lit(7)) =!= 0 && pmod(col("doc_id"), lit(11)) =!= 0)
+      .filter(col("scrubbed_fp") =!= col("orig_fp") && col("n_emails") === 0)
+      .count()
+    assert(unchanged == 0)
+    s.unpersist()
+    // pure narrow map: no Exchange
+    val plan = TextAnalysis.scrubPii(doc).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"plan:\n$plan")
+  }
+
   test("decontamination: shingle overlap drops docs, broadcast map-side plan") {
     import graft.operators.Sampling
     import spark.implicits._
