@@ -142,6 +142,10 @@ object TrainingQueries {
     "text_scrub_pii" -> ((s, dir) =>
       TextAnalysis.scrubPii(Transcripts.documents(s, dir)).orderBy("doc_id")),
 
+    // repetition signal: duplicated word-3-gram fraction (narrow map)
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(Transcripts.documents(s, dir)).orderBy("doc_id")),
+
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(Transcripts.documents(s, dir)).orderBy("h")),
 
@@ -412,6 +416,19 @@ object TrainingQueries {
          |  CAST(prev_cum // ${Packing.packBudget} AS BIGINT) AS pack_id,
          |  CAST(prev_cum % ${Packing.packBudget} AS BIGINT) AS pack_offset
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    greatest(len(string_split(text, ' ')) - 2, 0) AS n_grams,
+         |    CASE WHEN len(string_split(text, ' ')) < 3 THEN 0
+         |         ELSE len($duckShingles) END AS n_distinct
+         |  FROM documents)
+         |SELECT doc_id, CAST(n_grams AS INTEGER) AS n_grams,
+         |  CAST(n_distinct AS INTEGER) AS n_distinct,
+         |  CASE WHEN n_grams = 0 THEN 0.0
+         |       ELSE round(1.0 - n_distinct * 1.0 / n_grams, 4) END AS dup_gram_ratio
+         |FROM t ORDER BY doc_id""".stripMargin,
 
     "text_scrub_pii" -> {
       import graft.operators.TextAnalysis.{emailPattern, phonePattern}

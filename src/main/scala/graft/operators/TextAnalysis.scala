@@ -119,6 +119,27 @@ object TextAnalysis {
       rollingHash(col("text")).cast("long").as("rolling_fp"),
       length(regexp_replace(col("text"), " ", "")).cast("int").as("n_chars_norm"))
 
+  /** Repetition signal (Gopher-rules tradition): the fraction of a
+    * document's word-3-grams that are repeats of an earlier 3-gram —
+    * boilerplate/templated text scores high and is filtered before
+    * training. Pure narrow map: the total 3-gram count is just
+    * max(n_tokens - 2, 0), so only the DISTINCT shingle set (the native
+    * one-pass [[Dedup.shingles]] kernel) is materialized.
+    */
+  def repetition(doc: DataFrame): DataFrame = {
+    val n = size(tokens(col("text")))
+    val total = greatest(n - lit(2), lit(0))
+    val distinctN = when(total === 0, 0)
+      .otherwise(size(Dedup.shingles(col("text"))))
+    doc.select(
+      col("doc_id"),
+      total.cast("int").as("n_grams"),
+      distinctN.cast("int").as("n_distinct"),
+      when(total === 0, 0.0)
+        .otherwise(round(lit(1.0) - distinctN.cast("double") / total.cast("double"), 4))
+        .as("dup_gram_ratio"))
+  }
+
   /** PII patterns for [[scrubPii]] — restricted to character classes and
     * counted quantifiers, which Java regex (Spark) and RE2 (DuckDB)
     * interpret identically, so the oracle twin is exact.

@@ -804,6 +804,22 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange"), s"plan:\n$plan")
   }
 
+  test("repetition: duplicated 3-gram fraction, edges, narrow plan") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c a b c a b c"), // 7 grams, 3 distinct -> 1 - 3/7
+      (2L, "p q r s"),           // no repeats -> 0
+      (3L, "x y")                // too short to shingle -> 0/0 -> 0
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetition(df).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3))).toSeq
+    assert(got == Seq((1L, 7, 3, 0.5714), (2L, 2, 2, 0.0), (3L, 0, 0, 0.0)))
+    val plan = TextAnalysis.repetition(Transcripts.documents(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"plan:\n$plan")
+  }
+
   test("pii: scrubber redacts every injected email/phone, narrow plan") {
     import graft.operators.TextAnalysis
     val doc = Transcripts.documents(spark, sfDir)
