@@ -167,10 +167,16 @@ object TextAnalysis {
     * plan-pinned); emits per-doc redaction counts so corpus-level PII
     * rates are one aggregation away.
     */
-  def scrubPii(doc: DataFrame): DataFrame = {
-    val scrubbed = regexp_replace(
-      regexp_replace(col("text"), emailPattern, "<EMAIL>"),
+  /** The redaction itself — exposed so specs can tie their residual
+    * checks to the operator's actual expression instead of a re-derived
+    * copy.
+    */
+  def scrubExpr(text: Column): Column =
+    regexp_replace(regexp_replace(text, emailPattern, "<EMAIL>"),
       phonePattern, "<PHONE>")
+
+  def scrubPii(doc: DataFrame): DataFrame = {
+    val scrubbed = scrubExpr(col("text"))
     withInjectedPii(doc).select(
       col("doc_id"),
       regexp_count(col("text"), lit(emailPattern)).cast("int").as("n_emails"),

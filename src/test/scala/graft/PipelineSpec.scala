@@ -828,20 +828,25 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s = TextAnalysis.scrubPii(doc).cache()
     assert(s.filter(pmod(col("doc_id"), lit(7)) === 0 && col("n_emails") < 1).count() == 0)
     assert(s.filter(pmod(col("doc_id"), lit(11)) === 0 && col("n_phones") < 1).count() == 0)
-    // ...and the scrubbed text carries no surviving match
+    // ...and the OPERATOR'S scrub expression leaves no surviving match of
+    // EITHER pattern; md5 ties this exactly to the operator's output column
     val residual = injected.select(
-      regexp_count(
-        regexp_replace(
-          regexp_replace(col("text"), TextAnalysis.emailPattern, "<EMAIL>"),
-          TextAnalysis.phonePattern, "<PHONE>"),
-        lit(TextAnalysis.emailPattern)).as("e"))
-      .filter(col("e") > 0).count()
-    assert(residual == 0)
-    // untouched docs keep their original fingerprint
+      col("doc_id"),
+      regexp_count(TextAnalysis.scrubExpr(col("text")),
+        lit(TextAnalysis.emailPattern)).as("e"),
+      regexp_count(TextAnalysis.scrubExpr(col("text")),
+        lit(TextAnalysis.phonePattern)).as("p"),
+      md5(TextAnalysis.scrubExpr(col("text"))).as("fp"))
+    assert(residual.filter(col("e") > 0 || col("p") > 0).count() == 0)
+    assert(s.join(residual, Seq("doc_id"))
+      .filter(col("scrubbed_fp") =!= col("fp")).count() == 0,
+      "operator output fingerprint diverged from scrubExpr over the injected text")
+    // untouched docs (no PII of either kind) keep their original fingerprint
     val unchanged = s
       .join(doc.select(col("doc_id"), md5(col("text")).as("orig_fp")), Seq("doc_id"))
       .filter(pmod(col("doc_id"), lit(7)) =!= 0 && pmod(col("doc_id"), lit(11)) =!= 0)
-      .filter(col("scrubbed_fp") =!= col("orig_fp") && col("n_emails") === 0)
+      .filter(col("scrubbed_fp") =!= col("orig_fp") &&
+        col("n_emails") === 0 && col("n_phones") === 0)
       .count()
     assert(unchanged == 0)
     s.unpersist()
@@ -869,11 +874,14 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cleaned = Sampling.decontaminate(doc, Sampling.evalHoldout(doc))
     assert(cleaned.filter(pmod(col("doc_id"), lit(97)) === 0)
       .filter(size(split(col("text"), " ")) >= 3).count() == 0)
-    // contamination detection is a BROADCAST hash join (no corpus-wide
-    // shuffle for the probe side)
+    // BOTH joins (shingle detection + id anti-join) are broadcast — the
+    // corpus side never shuffles for a join; a dropped broadcast() hint
+    // that let one regress to a shuffle join fails this count
     val plan = Sampling.decontaminate(doc, Sampling.evalHoldout(doc))
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+    assert("BroadcastHashJoin".r.findAllMatchIn(plan).length == 2, s"plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"plan:\n$plan")
   }
 
   test("packing: prefix-sum pack assignment is consistent and one-shuffle") {
