@@ -625,11 +625,7 @@ object TrainingQueries {
          |SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id, cos
          |FROM r WHERE rn <= 3 ORDER BY query_id, rank""".stripMargin,
 
-    "training_pipeline_e2e" -> {
-      val counts = TextAnalysis.langStopwords.map { case (lang, words) =>
-        val inList = words.map(w => s"'$w'").mkString(", ")
-        s"len(list_filter(string_split(text, ' '), x -> x IN ($inList))) AS c_$lang"
-      }.mkString(",\n    ")
+    "training_pipeline_e2e" ->
       s"""WITH RECURSIVE $duckVerifiedPairCtes,
          |$duckClusterCtes,
          |k AS (SELECT md5(text) AS h, min(doc_id) AS doc_id FROM base GROUP BY 1),
@@ -641,23 +637,17 @@ object TrainingQueries {
          |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
          |    len(list_distinct(string_split(text, ' '))) * 1.0
          |      / len(string_split(text, ' ')) AS uniq_ratio,
-         |    $counts
+         |    ${duckLangCounts()}
          |  FROM j),
          |p AS (
          |  SELECT *,
-         |    CASE
-         |      WHEN c_en = 0 AND c_de = 0 AND c_es = 0 AND c_fr = 0 THEN 'und'
-         |      WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
-         |      WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
-         |      WHEN c_es >= c_fr THEN 'es'
-         |      ELSE 'fr' END AS predicted
+         |    $duckLangCase AS predicted
          |  FROM s)
          |SELECT predicted, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
          |  CAST(sum(length(text)) AS BIGINT) AS total_chars
          |FROM p WHERE uniq_ratio >= 0.45 AND n_tokens >= 30
-         |GROUP BY 1 ORDER BY predicted""".stripMargin
-    },
+         |GROUP BY 1 ORDER BY predicted""".stripMargin,
 
     "ann_recall" -> {
       // recall@3 of every ANN method vs the exact brute-force top-3 — the

@@ -304,14 +304,30 @@ object Dedup {
     * depend on join or iteration order, so the DuckDB recursive-CTE twin
     * is exact.
     */
+  /** Best-effort release of a superseded EAGER localCheckpoint's blocks.
+    * Dataset exposes no unpersist for them (the blocks are otherwise freed
+    * only when the GC'd RDD reaches the ContextCleaner), and up to
+    * [[clusterMaxIterations]] retained label generations would pressure
+    * executor storage on a large graph; the checkpointed data is the
+    * LogicalRDD at the root of the checkpointed Dataset's plan. Callers
+    * pass only generations whose successor has already been EAGERLY
+    * materialized, so the freed blocks can never be re-read.
+    */
+  private def freeLocalCheckpoint(df: DataFrame): Unit =
+    try df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    } catch { case _: Throwable => () } // best-effort: GC/ContextCleaner fallback
+
   def clustersFromPairs(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionAll(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .distinct()
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
+    var checkpointed = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
+    var labels = checkpointed
     var changed = 1L
     var iters = 0
     while (changed > 0 && iters < clusterMaxIterations) {
@@ -328,10 +344,13 @@ object Dedup {
       val step = labels.withColumn("prev", col("label"))
         .unionAll(viaNeighbor.withColumn("prev", lit(Long.MaxValue)))
         .groupBy("id").agg(min("label").as("label"), min("prev").as("prev"))
-        .localCheckpoint(true)
+        .localCheckpoint(true) // EAGER: the previous generation is now dead
+      freeLocalCheckpoint(checkpointed)
+      checkpointed = step
       changed = step.filter(col("label") < col("prev")).count()
       labels = step.select("id", "label")
     }
+    freeLocalCheckpoint(edges) // the result depends only on the final labels
     require(changed == 0,
       s"dup-cluster propagation did not converge in $clusterMaxIterations rounds " +
         "(component diameter exceeds the cap — see clusterMaxIterations scaladoc)")

@@ -71,13 +71,17 @@ object Sampling {
     * training mix (n-gram-overlap decontamination in the GPT-3/PaLM
     * tradition).
     *
-    * Scale shape: the eval shingle set is tiny next to a 100 TB corpus, so
-    * it is explicitly `broadcast()` — contamination detection becomes a
-    * MAP-SIDE hash join against the corpus's exploded shingles (no
-    * corpus-wide shuffle; plan-pinned BroadcastHashJoin), followed by one
-    * anti-join of the small contaminated-id set back onto the corpus.
-    * Documents too short to shingle (< 3 tokens) cannot match and always
-    * survive — both engines agree by construction.
+    * Scale shape: the eval shingle set is tiny next to a 100 TB corpus —
+    * and bounded by the BENCHMARK, not the corpus — so it is explicitly
+    * `broadcast()`: contamination detection becomes a MAP-SIDE hash join
+    * against the corpus's exploded shingles (no corpus-wide shuffle;
+    * plan-pinned BroadcastHashJoin). The contaminated-id set that
+    * anti-joins back is NOT hinted — its cardinality is data-dependent
+    * (boilerplate overlapping the eval set can contaminate whole percents
+    * of a corpus), so the anti-join is left to the optimizer/AQE, which
+    * broadcasts it only while it actually fits. Documents too short to
+    * shingle (< 3 tokens) cannot match and always survive — both engines
+    * agree by construction.
     */
   def decontaminate(doc: DataFrame, evalDocs: DataFrame): DataFrame = {
     val evalShingles = evalDocs
@@ -89,7 +93,7 @@ object Sampling {
       .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("shingle"))
       .join(broadcast(evalShingles), Seq("shingle"))
       .select("doc_id").distinct()
-    doc.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+    doc.join(contaminated, Seq("doc_id"), "left_anti")
   }
 
   /** The held-out "eval set" for the oracle query: every 97th document —

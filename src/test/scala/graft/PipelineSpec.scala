@@ -874,14 +874,23 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cleaned = Sampling.decontaminate(doc, Sampling.evalHoldout(doc))
     assert(cleaned.filter(pmod(col("doc_id"), lit(97)) === 0)
       .filter(size(split(col("text"), " ")) >= 3).count() == 0)
-    // BOTH joins (shingle detection + id anti-join) are broadcast — the
-    // corpus side never shuffles for a join; a dropped broadcast() hint
-    // that let one regress to a shuffle join fails this count
-    val plan = Sampling.decontaminate(doc, Sampling.evalHoldout(doc))
-      .queryExecution.executedPlan.toString
-    assert("BroadcastHashJoin".r.findAllMatchIn(plan).length == 2, s"plan:\n$plan")
-    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
-      s"plan:\n$plan")
+    // the DETECTION join (eval shingles vs exploded corpus shingles) is
+    // broadcast — the corpus side never shuffles for it. Pin it as the
+    // join whose probe side feeds from the shingles Generate, so a dropped
+    // broadcast() hint can't hide behind the anti-join's own (optimizer-
+    // chosen, size-dependent) broadcast.
+    val qe = Sampling.decontaminate(doc, Sampling.evalHoldout(doc)).queryExecution
+    val planStr = qe.executedPlan.toString
+    val detection = planStr.linesIterator
+      .filter(l => l.contains("BroadcastHashJoin") && l.contains("[shingle"))
+    assert(detection.nonEmpty, s"plan:\n$planStr")
+    // and the unbounded contaminated-id side carries NO forced broadcast
+    // hint (the optimizer may still choose one when it fits — that's AQE's
+    // call, not a pin)
+    val hints = qe.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.size == 1, s"expected exactly the eval-shingle hint, got:\n$hints")
   }
 
   test("packing: prefix-sum pack assignment is consistent and one-shuffle") {
@@ -937,6 +946,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("dedup: clusters equal brute-force union-find on seeded random graphs") {
     import spark.implicits._
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
     val rnd = new scala.util.Random(42)
     for (trial <- 1 to 8) {
       val n = 5 + rnd.nextInt(40)
@@ -963,6 +973,12 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
         .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       assert(got == expected, s"trial $trial (${pairs.size} edges): $got != $expected")
     }
+    // superseded checkpoint generations are freed EAGERLY, not left to the
+    // GC: each call may keep only its final labels generation alive, so 8
+    // calls grow the persistent-RDD set by at most ~1 each (a silently
+    // broken freeLocalCheckpoint would retain every per-iteration block)
+    val growth = spark.sparkContext.getPersistentRDDs.size - persistedBefore
+    assert(growth <= 10, s"leaked $growth checkpoint RDDs across 8 cluster runs")
   }
 
   test("dedup: degenerate-block cap drops are observable (graft_caps_* metrics)") {
