@@ -438,10 +438,20 @@ object TrainingQueries {
          |      THEN text || ' contact bob.' || CAST(doc_id AS VARCHAR) || '@mail.example.com asap'
          |      ELSE text END AS t1
          |  FROM documents),
+         |b2 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 13 = 0
+         |      THEN t1 || ' or Bob.Roe+' || CAST(doc_id AS VARCHAR) || '@Mail-Host.Example.COM too'
+         |      ELSE t1 END AS t2
+         |  FROM b),
+         |b3 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 11 = 0 THEN t2 || ' call 555-123-4567 now' ELSE t2 END AS t3
+         |  FROM b2),
          |inj AS (
          |  SELECT doc_id,
-         |    CASE WHEN doc_id % 11 = 0 THEN t1 || ' call 555-123-4567 now' ELSE t1 END AS text
-         |  FROM b),
+         |    CASE WHEN doc_id % 17 = 0 THEN t3 || ' or (555) 987-6543 maybe' ELSE t3 END AS text
+         |  FROM b3),
          |s AS (
          |  SELECT doc_id,
          |    CAST(len(regexp_extract_all(text, '$emailPattern')) AS INTEGER) AS n_emails,

@@ -46,21 +46,36 @@ object Dedup {
       sum(when(blockSize > cap, 1L).otherwise(0L)).as("dropped_blocks"),
       max(blockSize).cast("long").as("max_block"))
 
-  /** Log every cap-triggered block drop (once per session is enough). */
+  /** Sessions (by UUID) that already carry the cap logger: Main, Bench,
+    * Verify, and specs all call [[registerCapLogger]], possibly against the
+    * same shared session — re-registration must be a no-op, or duplicate
+    * listeners stack and every cap warning is emitted once per caller.
+    */
+  private val capLoggerSessions: java.util.Set[SparkSession] =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+
+  /** Log every cap/guard-triggered drop (idempotent per session). */
   def registerCapLogger(spark: SparkSession): Unit =
-    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
-      private val log = org.slf4j.LoggerFactory.getLogger("graft.Dedup")
-      override def onSuccess(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
-        qe.observedMetrics.foreach { case (name, row) =>
-          if (name.startsWith("graft_caps_") && !row.isNullAt(0) && row.getLong(0) > 0L)
-            log.warn(s"$name: ${row.getLong(0)} degenerate blocks dropped by cap " +
-              s"(largest block ${row.getLong(1)}) — oracle twins carry no cap branch; " +
-              "results diverge from uncapped SQL at this corpus size")
-        }
-      override def onFailure(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
-    })
+    if (capLoggerSessions.add(spark))
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        private val log = org.slf4j.LoggerFactory.getLogger("graft.Dedup")
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith("graft_caps_") && !row.isNullAt(0) && row.getLong(0) > 0L)
+              log.warn(s"$name: ${row.getLong(0)} degenerate blocks dropped by cap " +
+                s"(largest block ${row.getLong(1)}) — oracle twins carry no cap branch; " +
+                "results diverge from uncapped SQL at this corpus size")
+            else if (name.startsWith("graft_guard_") && !row.isNullAt(0) && row.getLong(0) > 0L)
+              log.warn(s"$name: ${row.getLong(0)} rows hit a guard condition " +
+                "(e.g. a sampling stratum absent from the mixture spec, dropped by " +
+                "the default-0 rate) — check the operator's configuration")
+          }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+      })
 
   /** The dup-injected corpus: documents plus a shifted copy of every 4th doc
     * (deterministic; gives the dedup operators guaranteed positives). Twin
@@ -125,18 +140,27 @@ object Dedup {
   val minhashBandCount = 4
   val minhashRowsPerBand = 4
 
-  /** MinHash signature: [[minhashHashes]] hashes -> [[minhashBandCount]]
-    * band keys (md5 over the '_'-joined band rows). The 16 hash values come
-    * from the native one-pass [[graft.spark.MinHash16]] expression
-    * (bit-identical to the `conv(substring(md5-concat...))` SQL form the
-    * DuckDB twin still uses — pinned by a parity spec + the oracle
-    * hash-compare).
+  /** The (doc_id, grams) shingle table of a corpus — the single expensive
+    * narrow map every MinHash stage derives from. Exposed so composed runs
+    * ([[minhashJaccard]]) can materialize it ONCE and feed both the
+    * banding and the verify join (at 100 TB the shingle/signature table is
+    * materialized once and reused, never recomputed per stage).
     */
-  def minhashSignature(doc: DataFrame): DataFrame = {
-    val withMh = doc
+  def shingleTable(base: DataFrame): DataFrame =
+    base
       .filter(size(split(col("text"), " ")) >= 3)
-      .select(col("doc_id"),
-        graft.spark.HashFunctions.minHash16(shingles(col("text"))).as("mh"))
+      .select(col("doc_id"), shingles(col("text")).as("grams"))
+
+  /** MinHash signature from a prebuilt (doc_id, grams) table:
+    * [[minhashHashes]] hashes -> [[minhashBandCount]] band keys (md5 over
+    * the '_'-joined band rows). The 16 hash values come from the native
+    * one-pass [[graft.spark.MinHash16]] expression (bit-identical to the
+    * `conv(substring(md5-concat...))` SQL form the DuckDB twin still uses —
+    * pinned by a parity spec + the oracle hash-compare).
+    */
+  def signatureFromGrams(g: DataFrame): DataFrame = {
+    val withMh = g.select(col("doc_id"),
+      graft.spark.HashFunctions.minHash16(col("grams")).as("mh"))
     val bandCols = (0 until minhashBandCount).map { b =>
       val rows = (0 until minhashRowsPerBand)
         .map(r => element_at(col("mh"), b * minhashRowsPerBand + r + 1).cast("string"))
@@ -144,6 +168,9 @@ object Dedup {
     }
     withMh.select((col("doc_id") +: bandCols): _*)
   }
+
+  def minhashSignature(doc: DataFrame): DataFrame =
+    signatureFromGrams(shingleTable(doc))
 
   /** LSH candidate pairs: docs sharing any band bucket. ONE shuffle total:
     * signatures are exploded on (band_idx, band_val), grouped per bucket,
@@ -163,19 +190,29 @@ object Dedup {
     */
   val minhashMaxBucket = 10000
 
-  def minhashBands(doc: DataFrame): DataFrame = {
+  def minhashBands(doc: DataFrame): DataFrame =
+    bandsToPairs(minhashSignature(withInjectedDups(doc)))
+
+  /** In-bucket pair generation over a prebuilt band-signature table. Pair
+    * generation is STREAMED (the [[nearDupPairs]] form): posexplode anchors
+    * each left id, a second explode emits its partners from a slice — so
+    * transient memory per task is O(bucket), never the O(bucket²) a
+    * flattened pair array would materialize as ONE value (at the 10k cap
+    * that array is ~50M structs ≈ hundreds of MB in a single row — an
+    * executor-OOM cliff exactly at the cap boundary; pinned gone by a plan
+    * spec asserting no `flatten` anywhere).
+    */
+  def bandsToPairs(sig: DataFrame): DataFrame = {
     val bands = array((0 until minhashBandCount).map(b => col(s"band$b")): _*)
-    val buckets = minhashSignature(withInjectedDups(doc))
+    val buckets = sig
       .select(col("doc_id"), posexplode(bands).as(Seq("band_idx", "band_val")))
       .groupBy("band_idx", "band_val")
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
     observeCapDrops(buckets, "minhash", size(col("ids")), minhashMaxBucket)
       .filter(size(col("ids")) > 1 && size(col("ids")) <= minhashMaxBucket)
-      .select(explode(expr(
-        """flatten(transform(ids, (x, i) ->
-          |  transform(slice(ids, i + 2, size(ids)), y ->
-          |    named_struct('a_id', x, 'b_id', y))))""".stripMargin)).as("p"))
-      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a_id")))
+      // slice is 1-based: position i (0-based) -> partners start at i + 2
+      .select(col("a_id"), explode(expr("slice(ids, i + 2, size(ids))")).as("b_id"))
       .distinct()
   }
 
@@ -248,18 +285,25 @@ object Dedup {
   }
 
   /** The canonical two-stage MinHash pipeline: candidate pairs from the LSH
-    * bands ([[minhashBands]]) VERIFIED by exact shingle Jaccard — the scale
+    * bands ([[bandsToPairs]]) VERIFIED by exact shingle Jaccard — the scale
     * answer to "n-gram Jaccard can't run all-pairs": the quadratic
     * comparison only happens inside band buckets, then the exact measure
     * confirms each candidate. Two equi-joins fetch the shingle sets of the
     * surviving pair ids; at 100 TB both join a small candidate table
     * against the signature/shingle store.
+    *
+    * The [[shingleTable]] (doc_id, grams) is materialized ONCE (eager
+    * localCheckpoint) and feeds BOTH the banding and the verify joins — the
+    * native `shingles3` kernel runs exactly one pass over the corpus
+    * (plan-pinned: the returned query's plan contains zero shingles3
+    * evaluations, only the checkpointed table). Production swaps the
+    * executor-local checkpoint for a persisted shingle/signature table; as
+    * with [[clustersFromPairs]], the checkpointed blocks are released by
+    * the ContextCleaner when the returned DataFrame is dropped.
     */
   def minhashJaccard(doc: DataFrame, minJaccard: Double = 0.5): DataFrame = {
-    val pairs = minhashBands(doc)
-    val g = withInjectedDups(doc)
-      .filter(size(split(col("text"), " ")) >= 3)
-      .select(col("doc_id"), shingles(col("text")).as("grams"))
+    val g = shingleTable(withInjectedDups(doc)).localCheckpoint(true)
+    val pairs = bandsToPairs(signatureFromGrams(g))
     val inter = size(array_intersect(col("a_grams"), col("b_grams"))).cast("double")
     val jac = inter /
       (size(col("a_grams")) + size(col("b_grams")) - inter).cast("double")
@@ -317,8 +361,35 @@ object Dedup {
     try df.queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
       case _ => ()
-    } catch { case _: Throwable => () } // best-effort: GC/ContextCleaner fallback
+    } catch {
+      // best-effort: GC/ContextCleaner fallback — but never swallow fatals,
+      // and restore the interrupt flag if one arrives mid-unpersist
+      case _: InterruptedException => Thread.currentThread().interrupt()
+      case scala.util.control.NonFatal(_) => ()
+    }
 
+  /** One propagation round over (edges, labels): every node takes the min
+    * of its own label and its neighbors' labels; `prev` (the node's old
+    * label — every node has exactly one labels row, so min(prev) over the
+    * group recovers it past the sentinel on neighbor rows) materializes
+    * alongside `label` so convergence is decided from the SAME aggregation.
+    * Exposed for the plan dossier (PLANS.md dumps one round's shape).
+    */
+  private[graft] def clusterStep(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val viaNeighbor = edges
+      .join(labels.select(col("id").as("dst"), col("label")), "dst")
+      .select(col("src").as("id"), col("label"))
+    labels.withColumn("prev", col("label"))
+      .unionAll(viaNeighbor.withColumn("prev", lit(Long.MaxValue)))
+      .groupBy("id").agg(min("label").as("label"), min("prev").as("prev"))
+  }
+
+  /** NOTE on retention: the returned DataFrame's plan roots at the FINAL
+    * label generation's eager localCheckpoint — those blocks stay alive as
+    * long as the caller holds the result (they ARE the result; the
+    * ContextCleaner frees them once the DataFrame is garbage). Callers that
+    * need eager release should write the result out and drop the reference.
+    */
   def clustersFromPairs(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionAll(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
@@ -332,22 +403,25 @@ object Dedup {
     var iters = 0
     while (changed > 0 && iters < clusterMaxIterations) {
       iters += 1
-      val viaNeighbor = edges
-        .join(labels.select(col("id").as("dst"), col("label")), "dst")
-        .select(col("src").as("id"), col("label"))
-      // the convergence check rides the propagation groupBy: `prev` (the
-      // node's old label — every node has exactly one labels row, so
-      // min(prev) over the group recovers it past the sentinel on neighbor
-      // rows) materializes alongside `label`, and the changed-count is a
-      // cheap scan of the checkpointed blocks instead of a second
-      // join+shuffle per round
-      val step = labels.withColumn("prev", col("label"))
-        .unionAll(viaNeighbor.withColumn("prev", lit(Long.MaxValue)))
-        .groupBy("id").agg(min("label").as("label"), min("prev").as("prev"))
-        .localCheckpoint(true) // EAGER: the previous generation is now dead
+      // ONE action per round: the changed-count rides the propagation
+      // groupBy as an observed metric, collected by the eager checkpoint's
+      // own job — no separate count() action (each extra driver round-trip
+      // at 10^12 edges is a full cluster barrier). The metric is read back
+      // SYNCHRONOUSLY from the executed plan's accumulators (the
+      // checkpoint ran exactly this QueryExecution), not via the async
+      // listener path.
+      val metricName = s"graft_cluster_round_${capMetricSeq.incrementAndGet()}"
+      val observed = clusterStep(edges, labels)
+        .observe(metricName,
+          sum(when(col("label") < col("prev"), 1L).otherwise(0L)).as("changed"))
+      val step = observed.localCheckpoint(true) // EAGER: prior generation now dead
       freeLocalCheckpoint(checkpointed)
       checkpointed = step
-      changed = step.filter(col("label") < col("prev")).count()
+      changed = observed.queryExecution.observedMetrics.get(metricName) match {
+        case Some(row) => if (row.isNullAt(0)) 0L else row.getLong(0)
+        case None => sys.error( // loud, never a silent wrong fixpoint
+          s"observed metric $metricName missing after the checkpoint action")
+      }
       labels = step.select("id", "label")
     }
     freeLocalCheckpoint(edges) // the result depends only on the final labels

@@ -48,9 +48,18 @@ object Sampling {
       when(predicted === lang, lit(r)).otherwise(acc)
     }
 
+  private val guardSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Stratified Bernoulli sample of the documents table by predicted
     * language: keep iff uniformHash(salt, doc_id) < rate(language).
     * Returns (doc_id, predicted, u) for the kept rows.
+    *
+    * Rows whose stratum is ABSENT from `rates` are dropped by the
+    * default-0 rate — documented behavior, but at 100 TB a mixture-spec
+    * typo ("en-US" vs "en") would silently hole the corpus, so the count
+    * of unlisted-stratum rows rides the scan as a `graft_guard_*` observed
+    * metric (the [[Dedup.observeCapDrops]] pattern — zero extra pass;
+    * [[Dedup.registerCapLogger]] warns on any non-zero count).
     */
   def stratifiedSample(
       doc: DataFrame,
@@ -60,6 +69,9 @@ object Sampling {
     val u = uniformHash(salt, col("doc_id"))
     doc
       .select(col("doc_id"), TextAnalysis.langPredicted.as("predicted"), u.as("u"))
+      .observe(s"graft_guard_sample_unlisted_${guardSeq.incrementAndGet()}",
+        sum(when(not(col("predicted").isin(rates.keys.toSeq: _*)), 1L).otherwise(0L))
+          .as("unlisted_rows"))
       // u = k / 2^32 is exact in a double (power-of-two divisor), so it is
       // emitted unrounded — Spark and DuckDB produce bit-identical float64s
       .filter(col("u") < rateFor(col("predicted"), rates))

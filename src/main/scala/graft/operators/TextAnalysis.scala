@@ -140,25 +140,35 @@ object TextAnalysis {
         .as("dup_gram_ratio"))
   }
 
-  /** PII patterns for [[scrubPii]] — restricted to character classes and
-    * counted quantifiers, which Java regex (Spark) and RE2 (DuckDB)
-    * interpret identically, so the oracle twin is exact.
+  /** PII patterns for [[scrubPii]] — restricted to character classes,
+    * counted quantifiers, and disjoint alternatives, which Java regex
+    * (Spark) and RE2 (DuckDB) interpret identically, so the oracle twin is
+    * exact. Coverage: mixed-case and `+tag` locals, hyphenated domains,
+    * multi-label TLDs for emails; `ddd-ddd-dddd` and `(ddd) ddd-dddd`
+    * phone forms (the alternatives can never match at the same position,
+    * so Java's ordered and RE2's leftmost-longest alternation agree).
     */
-  val emailPattern = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+"
-  val phonePattern = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val emailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val phonePattern = "(\\([0-9]{3}\\) |[0-9]{3}-)[0-9]{3}-[0-9]{4}"
 
   /** The PII-injected corpus: every 7th document gains a doc_id-derived
-    * email, every 11th a phone number — deterministic guaranteed positives
-    * for the scrubber (the [[Dedup.withInjectedDups]] pattern).
+    * email, every 13th a mixed-case `+tag` email on a hyphenated domain,
+    * every 11th a dashed phone number, every 17th a parenthesized one —
+    * deterministic guaranteed positives covering every pattern variant
+    * (the [[Dedup.withInjectedDups]] pattern).
     */
   def withInjectedPii(doc: DataFrame): DataFrame = {
-    val withEmail = when(pmod(col("doc_id"), lit(7)) === 0,
+    val e1 = when(pmod(col("doc_id"), lit(7)) === 0,
       concat(col("text"), lit(" contact bob."), col("doc_id").cast("string"),
         lit("@mail.example.com asap"))).otherwise(col("text"))
-    doc.select(col("doc_id"),
-      when(pmod(col("doc_id"), lit(11)) === 0,
-        concat(withEmail, lit(" call 555-123-4567 now")))
-        .otherwise(withEmail).as("text"))
+    val e2 = when(pmod(col("doc_id"), lit(13)) === 0,
+      concat(e1, lit(" or Bob.Roe+"), col("doc_id").cast("string"),
+        lit("@Mail-Host.Example.COM too"))).otherwise(e1)
+    val p1 = when(pmod(col("doc_id"), lit(11)) === 0,
+      concat(e2, lit(" call 555-123-4567 now"))).otherwise(e2)
+    val p2 = when(pmod(col("doc_id"), lit(17)) === 0,
+      concat(p1, lit(" or (555) 987-6543 maybe"))).otherwise(p1)
+    doc.select(col("doc_id"), p2.as("text"))
   }
 
   /** PII scrubbing: redact emails and phone numbers to typed placeholder

@@ -148,8 +148,9 @@ object ExtractPipeline {
     * pools ascending weights (on-demand pools otherwise get default weight
     * 1, making all priorities equal shares). [[writeFairSchedulerXml]] +
     * [[fairSchedulerConf]] produce exactly that deployment configuration;
-    * with them an egov (prio 9) batch submitted mid-flight gets ~10x the
-    * task share of queued standard (prio 1) work — the queue semantics.
+    * with them an egov (prio 9, weight 10) batch submitted mid-flight gets
+    * ~5x the task share of queued standard (prio 1, weight 2) work — and
+    * ~10x vs prio-0 (weight 1) — the queue semantics.
     * (In-task ordering — the other half — is `priorityOrdered` above.)
     * Pool assignment is a thread-local SparkContext property, which is why
     * this is an around-submission combinator rather than a plan node.

@@ -828,6 +828,10 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s = TextAnalysis.scrubPii(doc).cache()
     assert(s.filter(pmod(col("doc_id"), lit(7)) === 0 && col("n_emails") < 1).count() == 0)
     assert(s.filter(pmod(col("doc_id"), lit(11)) === 0 && col("n_phones") < 1).count() == 0)
+    // the widened variants: mixed-case +tag email on a hyphenated domain
+    // (%13) and the parenthesized phone form (%17) are caught too
+    assert(s.filter(pmod(col("doc_id"), lit(13)) === 0 && col("n_emails") < 1).count() == 0)
+    assert(s.filter(pmod(col("doc_id"), lit(17)) === 0 && col("n_phones") < 1).count() == 0)
     // ...and the OPERATOR'S scrub expression leaves no surviving match of
     // EITHER pattern; md5 ties this exactly to the operator's output column
     val residual = injected.select(
@@ -844,7 +848,8 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // untouched docs (no PII of either kind) keep their original fingerprint
     val unchanged = s
       .join(doc.select(col("doc_id"), md5(col("text")).as("orig_fp")), Seq("doc_id"))
-      .filter(pmod(col("doc_id"), lit(7)) =!= 0 && pmod(col("doc_id"), lit(11)) =!= 0)
+      .filter(pmod(col("doc_id"), lit(7)) =!= 0 && pmod(col("doc_id"), lit(11)) =!= 0 &&
+        pmod(col("doc_id"), lit(13)) =!= 0 && pmod(col("doc_id"), lit(17)) =!= 0)
       .filter(col("scrubbed_fp") =!= col("orig_fp") &&
         col("n_emails") === 0 && col("n_phones") === 0)
       .count()
@@ -979,6 +984,76 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // broken freeLocalCheckpoint would retain every per-iteration block)
     val growth = spark.sparkContext.getPersistentRDDs.size - persistedBefore
     assert(growth <= 10, s"leaked $growth checkpoint RDDs across 8 cluster runs")
+  }
+
+  test("plan: minhash pairs are STREAMED and the verify shingle table is one-pass") {
+    val doc = Transcripts.documents(spark, sfDir)
+    // in-bucket pair generation never materializes the O(bucket^2) pair
+    // array as ONE value: chained posexplode + explode(slice) only (the
+    // nearDupPairs form) — at the 10k bucket cap the flattened array was
+    // ~50M structs in a single row, an executor-OOM cliff
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    for (df <- Seq(Dedup.minhashBands(doc), Dedup.embeddingNearDup(emb))) {
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("flatten("), s"flattened pair array in plan:\n$plan")
+    }
+    // composed verify run: the native shingles3 kernel evaluates in exactly
+    // ONE pass — the materialized (doc_id, grams) checkpoint feeds banding
+    // AND both verify joins, so the final plan has ZERO shingles3 calls
+    val verify = Dedup.minhashJaccard(doc)
+    val vplan = verify.queryExecution.optimizedPlan.toString
+    assert(!vplan.contains("shingles3"), s"shingles recomputed per stage:\n$vplan")
+    // and semantics are unchanged: the injected dup pairs still verify
+    assert(verify.filter(col("b_id") === col("a_id") + 1000000L).count() > 0)
+  }
+
+  test("dedup: cluster propagation runs ONE action per round (no count round-trips)") {
+    import spark.implicits._
+    val funcs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit = funcs.add(f)
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      Thread.sleep(300) // let stragglers from earlier tests drain
+      funcs.clear()
+      // diameter-4 chain: multiple propagation rounds, each ONE eager
+      // checkpoint action whose job also carries the changed-count metric
+      val pairs = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L)).toDF("a_id", "b_id")
+      val got = Dedup.clustersFromPairs(pairs)
+      got.collect()
+      // listener delivery is async — wait for the final collect to land
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (!funcs.contains("collect") && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(funcs.contains("collect"), s"actions seen: $funcs")
+      assert(!funcs.contains("count"),
+        s"separate per-round count() action detected: $funcs")
+    } finally spark.listenerManager.unregister(l)
+  }
+
+  test("sampling: unlisted strata drop OBSERVABLY (graft_guard metric)") {
+    import graft.operators.Sampling
+    import spark.implicits._
+    // a mixture that forgot a stratum: rows still drop (default-0 rate is
+    // the documented contract) but the guard metric counts them, so a
+    // 100 TB mixture-spec typo is loggable instead of a silent corpus hole
+    val docs = Seq((1L, "zzz qqq ppp"), (2L, "the a is"), (3L, "der und ist"))
+      .toDF("doc_id", "text") // doc 1 predicts 'und'
+    val missing = Sampling.stratifiedSample(docs, Sampling.defaultRates - "und")
+    missing.collect()
+    val m = missing.queryExecution.observedMetrics
+      .find(_._1.startsWith("graft_guard_sample_unlisted"))
+    assert(m.isDefined, "guard metric missing from the sampling plan")
+    assert(m.get._2.getLong(0) == 1L, s"expected 1 unlisted row, got ${m.get._2}")
+    // the full default mixture lists every stratum: guard counts zero
+    val full = Sampling.stratifiedSample(Transcripts.documents(spark, sfDir))
+    full.collect()
+    val m2 = full.queryExecution.observedMetrics
+      .find(_._1.startsWith("graft_guard_sample_unlisted"))
+    assert(m2.isDefined && m2.get._2.getLong(0) == 0L, s"got $m2")
   }
 
   test("dedup: degenerate-block cap drops are observable (graft_caps_* metrics)") {
