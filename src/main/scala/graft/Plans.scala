@@ -1,8 +1,9 @@
 package graft
 
-import graft.operators.{Dedup, Packing, Sampling, Similarity}
+import graft.operators.{Dedup, Packing, Sampling, Similarity, TextAnalysis}
 import graft.spark.{ExtractPipeline, Transcripts}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Plan-audit dump: writes `PLANS.md` with the FORMATTED physical plans of
   * the load-bearing queries, so the shapes the specs assert (one Exchange in
@@ -61,7 +62,28 @@ object Plans {
         fmt(Sampling.stratifiedSample(doc))),
       ("Context packing (sharded prefix-sum)",
         "ONE Exchange (the (language, shard) window partition) -> running-sum window -> integer pack math; contexts shard-local by construction",
-        fmt(Packing.packContexts(doc)))
+        fmt(Packing.packContexts(doc))),
+      ("Benchmark decontamination",
+        "eval shingle set broadcast -> detection is a map-side BroadcastHashJoin over the corpus's exploded shingles (no corpus shuffle); the data-dependent contaminated-id set anti-joins back WITHOUT a forced hint",
+        fmt(Sampling.decontaminate(doc, Sampling.evalHoldout(doc)))),
+      ("Dup-cluster propagation (one round)",
+        "per round: ONE equi-join (edges x labels) + ONE partial-agg groupBy carrying the changed-count as an observed metric — one action per round, rounds = component diameter; shown here for a synthetic 2-edge graph (the iterative runner eagerly checkpoints between rounds)",
+        {
+          import spark.implicits._
+          val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+          val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+            .unionAll(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+            .distinct()
+          val labels = edges.select(col("src").as("id")).distinct()
+            .withColumn("label", col("id"))
+          fmt(Dedup.clusterStep(edges, labels))
+        }),
+      ("PII scrubbing",
+        "pure NARROW map (codegen'd regexes over the injected corpus): zero Exchange",
+        fmt(TextAnalysis.scrubPii(doc))),
+      ("Repetition signal (Gopher rules)",
+        "pure NARROW map: total 3-grams is arithmetic, only the distinct shingle set (native shingles3 kernel) materializes; zero Exchange",
+        fmt(TextAnalysis.repetition(doc)))
     )
 
     val md = new StringBuilder

@@ -68,28 +68,100 @@ object Probe {
       println(f"[probe] kernelloop: ${n.toLong * reps} extractions in $sec%.2f s = ${n.toLong * reps / sec}%.0f turns/sec ($acc)")
 
     case "kernelmt" =>
-      // multithreaded kernel loop, no Spark: isolates raw CPU scaling
-      val threads = args(1).toInt
+      // multithreaded kernel loop, no Spark: isolates raw CPU scaling.
+      // args(1) may be a comma-separated thread-count list: all levels run
+      // back-to-back inside THIS one JVM — the tightest same-window pairing
+      // for ceiling ratios (two separate short spawns let a seconds-scale
+      // burst hit one level only, which reads as a wild ceiling), and the
+      // JIT is shared so neither level pays compilation in its timed loop.
+      val levelList = args(1).split(",").map(_.toInt)
       val n = args(2).toInt
-      val per = n / threads
-      val turns = (0L until per.toLong).map(syntheticTurn).toArray
-      turns.take(per / 10).foreach { case (c, ti, t, tool) => Extractor.extractTurn(c, ti, t, tool) }
-      val t0 = System.nanoTime()
-      val pool = (0 until threads).map { _ =>
-        new Thread(() => {
-          var i = 0
-          var acc = 0L
-          while (i < per) {
-            val (c, ti, t, tool) = turns(i)
-            acc += Extractor.extractTurn(c, ti, t, tool).text.length
-            i += 1
-          }
-          if (acc == -1) println("?")
-        })
+      // FIXED distinct working set across levels: if the input array size
+      // tracks the per-thread count, the higher-thread level iterates a
+      // smaller (cache-resident) array while the low level streams hundreds
+      // of MB from DRAM — a built-in "super-linear scaling" bias (measured
+      // ~+15%). Every level loops over the SAME ~20k-turn array.
+      val distinctN = 20000
+      val turns = (0L until distinctN.toLong).map(syntheticTurn).toArray
+      def runLevel(threads: Int, perThread: Int): Double = {
+        val t0 = System.nanoTime()
+        val pool = (0 until threads).map { _ =>
+          new Thread(() => {
+            var i = 0
+            var acc = 0L
+            while (i < perThread) {
+              val (c, ti, t, tool) = turns(i % distinctN)
+              acc += Extractor.extractTurn(c, ti, t, tool).text.length
+              i += 1
+            }
+            if (acc == -1) println("?")
+          })
+        }
+        pool.foreach(_.start()); pool.foreach(_.join())
+        (System.nanoTime() - t0) / 1e9
       }
-      pool.foreach(_.start()); pool.foreach(_.join())
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[probe] kernelmt threads=$threads: ${per * threads} turns in $sec%.2f s = ${per * threads / sec}%.0f turns/sec")
+      // FULL multithreaded warmup pass: a single-threaded JIT loop is not
+      // enough — the first measured level otherwise runs 20-40% slow
+      // (remaining C2 tiers/code-cache/TLAB ramp land on it; measured
+      // t2 332k -> t8 1303k -> t2 398k in one JVM), which reads as a
+      // spurious super-linear ceiling when the low level runs first
+      runLevel(levelList.head, n / levelList.head)
+      for (threads <- levelList) {
+        val per = n / threads
+        val sec = runLevel(threads, per)
+        println(f"[probe] kernelmt threads=$threads: ${per * threads} turns in $sec%.2f s = ${per * threads / sec}%.0f turns/sec")
+      }
+
+    case "memmt" =>
+      // DRAM-BANDWIDTH gauge (the pure-CPU kernelmt's companion): a
+      // work-conserving streaming sum over a fixed multi-GiB working set,
+      // run at each comma-separated thread count inside ONE pinned JVM so
+      // the levels share the tightest possible weather window. The working
+      // set is allocated once as maxThreads chunks (each far beyond LLC)
+      // and every level streams the SAME total bytes, threads dividing the
+      // chunks — so the N->4N throughput ratio measures how much ADDITIONAL
+      // memory bandwidth the window lets 4N cores pull, which a pure-CPU
+      // loop cannot see (r04: a DRAM-bandwidth co-tenant burst crushed the
+      // Spark job ~2.5x harder than the CPU gauge in the same window).
+      val levels = args(1).split(",").map(_.toInt)
+      val totalMb = if (args.length > 2) args(2).toInt else 4096
+      val maxT = levels.max
+      val chunkLongs = (totalMb.toLong * 1024 * 1024 / 8 / maxT).toInt
+      val chunks = Array.tabulate(maxT) { c =>
+        val a = new Array[Long](chunkLongs)
+        var i = 0
+        while (i < chunkLongs) { a(i) = i + c; i += 1 } // pre-touch + fill
+        a
+      }
+      val passes = 6
+      for (t <- levels) {
+        def run(np: Int): Double = {
+          val t0 = System.nanoTime()
+          val pool = (0 until t).map { ti =>
+            new Thread(() => {
+              var p = 0
+              var acc = 0L
+              while (p < np) {
+                var c = ti
+                while (c < maxT) {
+                  val a = chunks(c)
+                  var i = 0
+                  while (i < a.length) { acc += a(i); i += 1 }
+                  c += t
+                }
+                p += 1
+              }
+              if (acc == 42) println("?") // keep the sum live past the JIT
+            })
+          }
+          pool.foreach(_.start()); pool.foreach(_.join())
+          (System.nanoTime() - t0) / 1e9
+        }
+        run(1) // untimed warmup pass per level
+        val sec = run(passes)
+        val gib = totalMb.toDouble * passes / 1024
+        println(f"[probe] memmt threads=$t: $gib%.1f GiB in $sec%.2f s = ${gib / sec}%.2f GB/s")
+      }
 
     case "steal" =>
       val a = scala.io.Source.fromFile("/proc/stat").getLines().next().split("\\s+")
