@@ -168,6 +168,18 @@ object TrainingQueries {
     "sample_stratified" -> ((s, dir) =>
       Sampling.stratifiedSample(Transcripts.documents(s, dir)).orderBy("doc_id")),
 
+    // deterministic fractional upweighting: epoch-style replication for
+    // mixture weights > 1 (narrow explode, no shuffle)
+    "sample_upweight" -> ((s, dir) =>
+      Sampling.upweight(Transcripts.documents(s, dir))
+        .orderBy("doc_id", "rep_idx")),
+
+    // windowed-fingerprint dedup (exact-substring tradition): docs sharing
+    // any 8-token window fingerprint at stride 4 (one groupBy shuffle,
+    // streamed in-bucket pairs)
+    "dedup_window_fp" -> ((s, dir) =>
+      Dedup.windowDupPairs(Transcripts.documents(s, dir)).orderBy("a_id", "b_id")),
+
     // context packing: prefix-sum pack assignment within (language, shard)
     // strata — one shuffle, shard-local contexts by construction
     "pack_contexts" -> ((s, dir) =>
@@ -393,6 +405,50 @@ object TrainingQueries {
          |SELECT doc_id, predicted, u FROM h
          |WHERE u < $rateCase
          |ORDER BY doc_id""".stripMargin
+    },
+
+    "sample_upweight" -> {
+      val weightCase = Sampling.defaultWeights.toSeq.sortBy(_._1)
+        .map { case (lang, w) => s"WHEN '$lang' THEN $w" }
+        .mkString("CASE predicted ", " ", " ELSE 0.0 END")
+      s"""WITH s AS (
+         |  SELECT doc_id, text,
+         |    ${duckLangCounts()}
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id,
+         |    $duckLangCase AS predicted
+         |  FROM s),
+         |h AS (
+         |  SELECT doc_id, predicted,
+         |    CAST('0x' || substr(md5('graft-up:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+         |      * 1.0 / 4294967296 AS u,
+         |    $weightCase AS w
+         |  FROM p),
+         |r AS (
+         |  SELECT doc_id, predicted,
+         |    CAST(floor(w) + (CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END) AS INTEGER) AS reps
+         |  FROM h)
+         |SELECT doc_id, predicted,
+         |  CAST(unnest(range(1, reps + 1)) AS INTEGER) AS rep_idx
+         |FROM r WHERE reps > 0
+         |ORDER BY doc_id, rep_idx""".stripMargin
+    },
+
+    "dedup_window_fp" -> {
+      import graft.operators.Dedup.{windowTokens, windowStride}
+      s"""WITH base AS $duckDupBase,
+         |t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM base
+         |  WHERE len(string_split(text, ' ')) >= $windowTokens),
+         |w AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(0, len(toks) - $windowTokens + 1, $windowStride),
+         |      i -> md5(array_to_string(toks[i + 1 : i + $windowTokens], ' ')))) AS wfp
+         |  FROM t)
+         |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |FROM w a JOIN w b ON a.wfp = b.wfp AND a.doc_id < b.doc_id
+         |ORDER BY a_id, b_id""".stripMargin
     },
 
     "pack_contexts" ->

@@ -208,13 +208,66 @@ object Dedup {
       .select(col("doc_id"), posexplode(bands).as(Seq("band_idx", "band_val")))
       .groupBy("band_idx", "band_val")
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
-    observeCapDrops(buckets, "minhash", size(col("ids")), minhashMaxBucket)
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= minhashMaxBucket)
+    streamedPairs(buckets, "minhash", minhashMaxBucket)
+  }
+
+  /** Streamed in-bucket pair generation over a grouped table with a sorted
+    * `ids` array column — shared by every id-only bucketing dedup
+    * ([[bandsToPairs]], [[windowDupPairs]]): cap + observable drops, then
+    * chained posexplode + explode(slice) so transient memory is O(bucket).
+    */
+  private def streamedPairs(buckets: DataFrame, op: String, cap: Int): DataFrame =
+    observeCapDrops(buckets, op, size(col("ids")), cap)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= cap)
       .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a_id")))
       // slice is 1-based: position i (0-based) -> partners start at i + 2
       .select(col("a_id"), explode(expr("slice(ids, i + 2, size(ids))")).as("b_id"))
       .distinct()
-  }
+
+  /** Windowed-fingerprint dedup parameters (the exact-substring dedup
+    * tradition — Lee et al. 2021, "Deduplicating Training Data Makes
+    * Language Models Better" — in bounded-window form): fingerprint every
+    * [[windowTokens]]-token window at stride [[windowStride]]; two
+    * documents sharing ANY window fingerprint are near-exact-dup
+    * candidates (a shared run of >= W + S - 1 tokens is guaranteed to be
+    * caught regardless of alignment). Complements MinHash: MinHash finds
+    * whole-document similarity, window fingerprints find long VERBATIM
+    * overlaps between otherwise-different documents (quote chains,
+    * boilerplate headers, copied passages).
+    */
+  val windowTokens = 8
+  val windowStride = 4
+
+  /** Degenerate-fingerprint guard (the [[minhashMaxBucket]] pattern). */
+  val windowMaxBucket = 10000
+
+  /** (doc_id, wfp) window fingerprints over the dup-injected corpus. The
+    * token array is materialized ONCE per row as a column (`toks`) and the
+    * windows slice it — referencing `split(text)` inside the lambda would
+    * re-evaluate the split per window (the O(n²) HOF trap).
+    */
+  def windowFingerprints(doc: DataFrame): DataFrame =
+    withInjectedDups(doc)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= windowTokens)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, size(toks) - $windowTokens, $windowStride),
+           |  i -> md5(concat_ws(' ', slice(toks, i + 1, $windowTokens))))""".stripMargin))
+        .as("wfp"))
+
+  /** Candidate near-exact-dup pairs: docs sharing any window fingerprint.
+    * ONE shuffle (groupBy wfp), streamed in-bucket pairs, capped +
+    * observable like every bucketing dedup here. At 100 TB the fingerprint
+    * table is the materialized artifact; hot fingerprints (boilerplate)
+    * hit the cap and are dropped whole — their members belong to the
+    * exact-dup/minhash operators.
+    */
+  def windowDupPairs(doc: DataFrame): DataFrame =
+    streamedPairs(
+      windowFingerprints(doc)
+        .groupBy("wfp")
+        .agg(array_sort(collect_set(col("doc_id"))).as("ids")),
+      "windowfp", windowMaxBucket)
 
   /** STREAMING near-dup: one survivor per MinHash band-0 bucket via
     * `dropDuplicatesWithinWatermark` — the streaming member of the NEAR-dup

@@ -77,6 +77,48 @@ object Sampling {
       .filter(col("u") < rateFor(col("predicted"), rates))
   }
 
+  /** The demo upweighting mixture: per-language replication weights (> 1
+    * upsamples, < 1 downsamples — one mechanism covers both directions).
+    */
+  val defaultWeights: Map[String, Double] =
+    Map("en" -> 1.0, "de" -> 2.5, "es" -> 1.25, "fr" -> 3.0, "und" -> 0.5)
+
+  /** Deterministic fractional UPweighting — the other half of mixture
+    * weighting ([[stratifiedSample]] covers rates <= 1): a stratum with
+    * weight w contributes floor(w) copies of every document plus one more
+    * iff uniformHash(salt, doc_id) < frac(w), so the expected replication
+    * is exactly w and every document appears floor(w) or ceil(w) times
+    * (epoch-style replication, the standard way training mixes express
+    * "see German 2.5x per epoch"). Output: one row per replica
+    * (doc_id, predicted, rep_idx).
+    *
+    * Scale shape: a PURE NARROW stage — per-row weight lookup, one
+    * Bernoulli, one `explode(sequence(...))`; no shuffle, no state
+    * (no-Exchange plan-pinned). Deterministic and salt-keyed like the
+    * sampler; weights use power-of-two-free fractions that are exact in
+    * float64, so the DuckDB twin matches bit-for-bit.
+    */
+  def upweight(
+      doc: DataFrame,
+      weights: Map[String, Double] = defaultWeights,
+      salt: String = "graft-up"
+  ): DataFrame = {
+    val w = rateFor(col("predicted"), weights)
+    val reps = (floor(w).cast("long") +
+      when(uniformHash(salt, col("doc_id")) < (w - floor(w)), 1L).otherwise(0L))
+      .cast("int")
+    doc
+      .select(col("doc_id"), TextAnalysis.langPredicted.as("predicted"))
+      .withColumn("reps", reps)
+      // sequence(1, 0) would generate a DESCENDING ramp, not an empty
+      // array — zero-replica rows must be filtered before the explode
+      .filter(col("reps") > 0)
+      // sequence(1, reps) over int bounds is array<int>, so rep_idx is
+      // already int (a generator cannot be nested inside a cast)
+      .select(col("doc_id"), col("predicted"),
+        explode(expr("sequence(1, reps)")).as("rep_idx"))
+  }
+
   /** Benchmark DECONTAMINATION: drop every training document sharing at
     * least one word-3-gram shingle with the evaluation corpus — the
     * pre-training hygiene step that keeps eval benchmarks out of the

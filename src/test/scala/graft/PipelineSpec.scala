@@ -720,6 +720,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "minhash_bands" -> Dedup.minhashBands(doc),
       "minhash_verify" -> Dedup.minhashJaccard(doc),
       "simhash_pairs" -> Dedup.simhashPairs(doc),
+      "window_fp_pairs" -> Dedup.windowDupPairs(doc),
       "embedding_near_dup" -> Dedup.embeddingNearDup(emb))
     plans.foreach { case (name, df) =>
       val plan = df.queryExecution.executedPlan.toString
@@ -993,7 +994,8 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // nearDupPairs form) — at the 10k bucket cap the flattened array was
     // ~50M structs in a single row, an executor-OOM cliff
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    for (df <- Seq(Dedup.minhashBands(doc), Dedup.embeddingNearDup(emb))) {
+    for (df <- Seq(Dedup.minhashBands(doc), Dedup.windowDupPairs(doc),
+        Dedup.embeddingNearDup(emb))) {
       val plan = df.queryExecution.optimizedPlan.toString
       assert(!plan.contains("flatten("), s"flattened pair array in plan:\n$plan")
     }
@@ -1032,6 +1034,62 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(!funcs.contains("count"),
         s"separate per-round count() action detected: $funcs")
     } finally spark.listenerManager.unregister(l)
+  }
+
+  test("sampling: fractional upweighting replicates floor(w)/ceil(w) deterministically") {
+    import graft.operators.{Sampling, TextAnalysis}
+    val doc = Transcripts.documents(spark, sfDir)
+    val up = Sampling.upweight(doc).cache()
+    // every document appears exactly floor(w) or ceil(w) times
+    val perDoc = up.groupBy("doc_id", "predicted").count()
+    val bad = perDoc.filter(!(
+      (col("predicted") === "en" && col("count") === 1) ||
+      (col("predicted") === "de" && col("count").isin(2, 3)) ||
+      (col("predicted") === "es" && col("count").isin(1, 2)) ||
+      (col("predicted") === "fr" && col("count") === 3) ||
+      (col("predicted") === "und" && col("count") === 1))).count()
+    assert(bad == 0, "a document's replication count is outside {floor(w), ceil(w)}")
+    // expected replication ~ w per stratum: the de stratum averages ~2.5
+    val deDocs = TextAnalysis.langId(doc).filter(col("predicted") === "de").count()
+    if (deDocs >= 20) {
+      val deRows = up.filter(col("predicted") === "de").count()
+      val avg = deRows.toDouble / deDocs
+      assert(avg > 2.2 && avg < 2.8, s"de replication averaged $avg, expected ~2.5")
+    }
+    // deterministic across runs
+    val again = Sampling.upweight(doc)
+    assert(up.exceptAll(again).count() == 0 && again.exceptAll(up).count() == 0)
+    up.unpersist()
+    // pure narrow stage: no Exchange
+    val plan = Sampling.upweight(doc).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"plan:\n$plan")
+  }
+
+  test("dedup: window fingerprints catch verbatim runs across different docs") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    // two docs sharing an 11-token verbatim run (W + S - 1 = 8 + 4 - 1)
+    // with totally different surroundings MUST pair regardless of
+    // alignment; doc 3 shares only scattered words -> no pair
+    val run = (1 to 11).map(i => s"quoted$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma $run delta epsilon"),
+      (2L, s"one two three four five six seven $run eight"),
+      (3L, "alpha two gamma four epsilon six quoted1 eight quoted3 ten eleven twelve")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.windowDupPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"verbatim run missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"false pair on doc 3: $pairs")
+    // and over the corpus: every injected whole-document dup is found
+    val doc = Transcripts.documents(spark, sfDir)
+    val corpus = Dedup.windowDupPairs(doc)
+    val injected = Dedup.withInjectedDups(doc)
+      .filter(col("doc_id") >= 1000000L)
+      .filter(size(split(col("text"), " ")) >= Dedup.windowTokens)
+      .count()
+    val found = corpus.filter(col("b_id") === col("a_id") + 1000000L).count()
+    assert(found == injected, s"found $found of $injected injected dups")
   }
 
   test("sampling: unlisted strata drop OBSERVABLY (graft_guard metric)") {
