@@ -78,6 +78,12 @@ object Plans {
             .withColumn("label", col("id"))
           fmt(Dedup.clusterStep(edges, labels))
         }),
+      ("Fractional upweighting (mixture replication)",
+        "pure NARROW stage: per-row weight lookup -> Bernoulli -> explode(sequence); zero Exchange",
+        fmt(Sampling.upweight(doc))),
+      ("Windowed-fingerprint dedup (exact-substring tradition)",
+        "one-pass window fingerprints (toks materialized once per row) -> ONE shuffle (groupBy wfp) -> streamed in-bucket pairs; capped + observable",
+        fmt(Dedup.windowDupPairs(doc))),
       ("PII scrubbing",
         "pure NARROW map (codegen'd regexes over the injected corpus): zero Exchange",
         fmt(TextAnalysis.scrubPii(doc))),
