@@ -84,6 +84,26 @@ object TrainingQueries {
       |      WHEN c_es >= c_fr THEN 'es'
       |      ELSE 'fr' END""".stripMargin
 
+  /** DuckDB CTE chain computing the minhash band signature of `src`
+    * (doc_id, text) as `<prefix>sig(doc_id, band0..band3)` — shared by the
+    * incremental-dedup oracle's two corpus sides.
+    */
+  private def duckSigCtes(prefix: String, src: String): String =
+    s"""${prefix}g AS (
+       |  SELECT doc_id, $duckShingles AS grams
+       |  FROM $src WHERE len(string_split(text, ' ')) >= 3),
+       |${prefix}h AS (SELECT doc_id, $duckHcat AS hcat FROM ${prefix}g),
+       |${prefix}sig AS (
+       |  SELECT doc_id,
+       |  $duckBandExprs
+       |  FROM ${prefix}h)""".stripMargin
+
+  /** The band columns of `<sig>` unpivoted to (band_idx, band_val) rows. */
+  private def duckBandRows(sig: String, withDoc: Boolean): String =
+    (0 until graft.operators.Dedup.minhashBandCount).map { b =>
+      s"SELECT ${if (withDoc) "doc_id, " else ""}$b AS band_idx, band$b AS band_val FROM $sig"
+    }.mkString("\n  UNION ALL\n  ")
+
   /** Shared CTE chain ending in `vpairs(a_id, b_id, jaccard)` — the
     * verified minhash near-dup pairs (twin of Dedup.minhashJaccard), used
     * by both the verify oracle and the cluster oracle's recursion base.
@@ -190,6 +210,20 @@ object TrainingQueries {
     "decontaminate" -> ((s, dir) => {
       val doc = Transcripts.documents(s, dir)
       Sampling.decontaminate(doc, Sampling.evalHoldout(doc))
+        .select(col("doc_id"), length(col("text")).cast("int").as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // incremental (ingestion-time) dedup: drop incoming docs duplicating
+    // the existing corpus by content hash OR any minhash band bucket —
+    // three equi-joins against the corpus's materialized artifacts
+    "dedup_incremental" -> ((s, dir) => {
+      val base = Transcripts.documents(s, dir).select(col("doc_id"), col("text"))
+      val existing = base.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val incoming = base.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .unionAll(existing.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      Dedup.incrementalDedup(existing, incoming)
         .select(col("doc_id"), length(col("text")).cast("int").as("n_chars"))
         .orderBy("doc_id")
     }),
@@ -532,6 +566,31 @@ object TrainingQueries {
          |SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars
          |FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+         |ORDER BY doc_id""".stripMargin,
+
+    "dedup_incremental" ->
+      s"""WITH existing AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+         |incoming AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 2000000 AS doc_id, text FROM existing WHERE doc_id % 5 = 0),
+         |${duckSigCtes("e", "existing")},
+         |${duckSigCtes("i", "incoming")},
+         |ebands AS (
+         |  SELECT DISTINCT band_idx, band_val FROM (
+         |  ${duckBandRows("esig", withDoc = false)})),
+         |ibands AS (
+         |  ${duckBandRows("isig", withDoc = true)}),
+         |neardup AS (
+         |  SELECT DISTINCT i.doc_id FROM ibands i JOIN ebands e USING (band_idx, band_val)),
+         |exactdup AS (
+         |  SELECT DISTINCT i.doc_id
+         |  FROM (SELECT doc_id, md5(text) AS h FROM incoming) i
+         |  JOIN (SELECT DISTINCT md5(text) AS h FROM existing) e USING (h))
+         |SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars
+         |FROM incoming
+         |WHERE doc_id NOT IN (SELECT doc_id FROM neardup UNION SELECT doc_id FROM exactdup)
          |ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash" -> {

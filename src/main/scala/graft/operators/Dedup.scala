@@ -269,6 +269,35 @@ object Dedup {
         .agg(array_sort(collect_set(col("doc_id"))).as("ids")),
       "windowfp", windowMaxBucket)
 
+  /** INCREMENTAL dedup — the ingestion-time operation continual
+    * pretraining runs: drop every INCOMING document that duplicates the
+    * EXISTING corpus, without re-deduping the corpus itself. Two signals,
+    * each an equi-join against an artifact the existing corpus already
+    * maintains at 100 TB (its content-hash table and its minhash band
+    * buckets — both materialized once and appended per ingest):
+    *   - exact: md5(text) matches an existing content hash;
+    *   - near: ANY minhash band key matches an existing band bucket
+    *     (OR-of-bands, the [[bandsToPairs]] recall shape).
+    * Returns the incoming survivors. Plan shape: three shuffled
+    * equi-joins (hash, bands, id anti-join) — no self-pairing, no
+    * cartesian; the existing side streams from its materialized tables.
+    */
+  def incrementalDedup(existing: DataFrame, incoming: DataFrame): DataFrame = {
+    val bandCols = (0 until minhashBandCount).map(b => col(s"band$b"))
+    def bandKeys(df: DataFrame) = minhashSignature(df)
+      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
+    val existingHashes = existing.select(md5(col("text")).as("h")).distinct()
+    val existingBands = bandKeys(existing)
+      .select("band_idx", "band_val").distinct()
+    val exactDups = incoming.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(existingHashes, Seq("h"))
+      .select("doc_id")
+    val nearDups = bandKeys(incoming)
+      .join(existingBands, Seq("band_idx", "band_val"))
+      .select("doc_id").distinct()
+    incoming.join(exactDups.unionAll(nearDups).distinct(), Seq("doc_id"), "left_anti")
+  }
+
   /** STREAMING near-dup: one survivor per MinHash band-0 bucket via
     * `dropDuplicatesWithinWatermark` — the streaming member of the NEAR-dup
     * family (the exact-dup streaming member keys on event_id;

@@ -1065,6 +1065,33 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange"), s"plan:\n$plan")
   }
 
+  test("dedup: incremental ingest drops exact and band-matching incoming docs") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val longA = (1 to 40).map(i => s"alpha$i").mkString(" ")
+    val longB = (1 to 40).map(i => s"beta$i").mkString(" ")
+    val existing = Seq((1L, longA), (2L, "tiny doc")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, longA),        // verbatim copy of existing 1 -> exact + near
+      (11L, "tiny doc"),   // copy of a too-short-to-shingle doc -> exact hash only
+      (12L, longB)         // genuinely new -> survives
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalDedup(existing, incoming)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(12L), s"kept $kept")
+    // incremental dedup never touches the existing corpus, only filters
+    // incoming; and it is idempotent: re-ingesting the survivors against
+    // existing+survivors drops them all
+    val survivors = Dedup.incrementalDedup(existing, incoming)
+    val reIngest = Dedup.incrementalDedup(existing.unionAll(survivors), survivors)
+    assert(reIngest.count() == 0)
+    // no cartesian-class join in the plan
+    val plan = Dedup.incrementalDedup(existing, incoming)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"plan:\n$plan")
+  }
+
   test("dedup: window fingerprints catch verbatim runs across different docs") {
     import graft.operators.Dedup
     import spark.implicits._
