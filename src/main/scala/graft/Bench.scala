@@ -493,14 +493,17 @@ object Bench {
     // per-round evidence). Written BEFORE the JSON line so an md I/O error
     // can't eat the machine-readable evidence.
     try {
-      val qLines = results.map { case (k, v) => f"| $k | $v%.3f |" }.mkString("\n")
+      // joined with "\n|": the table rows are spliced into a stripMargin
+      // template, which strips the first '|' of every continuation line —
+      // the extra margin char keeps the markdown pipes intact
+      val qLines = results.map { case (k, v) => f"| $k | $v%.3f |" }.mkString("\n|")
       val roundLines = rounds.zipWithIndex.map { case (rd, i) =>
         val minCeil = Seq(rd.cpuCeil, rd.dramCeil).filterNot(_.isNaN) match {
           case Nil => Double.NaN
           case xs => xs.min
         }
         f"| ${i + 1} | ${rd.eff}%.3f | ${rd.cons}%.3f | ${jnum(rd.cpuCeil)} | ${jnum(rd.dramCeil)} | ${jnum(rd.eff / minCeil)} |"
-      }.mkString("\n")
+      }.mkString("\n|") // "\n|": see qLines — stripMargin eats one '|' per line
       val md =
         f"""# BENCH — extraction throughput + scaling evidence
            |
