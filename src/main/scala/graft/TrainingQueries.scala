@@ -471,15 +471,22 @@ object TrainingQueries {
 
     "dedup_window_fp" -> {
       import graft.operators.Dedup.{windowTokens, windowStride}
+      // winnowed selection: list_sort(slice)[1] == Spark's array_min over
+      // the same lowercase-hex md5 strings (binary collation both engines)
       s"""WITH base AS $duckDupBase,
          |t AS (
          |  SELECT doc_id, string_split(text, ' ') AS toks FROM base
          |  WHERE len(string_split(text, ' ')) >= $windowTokens),
+         |wa AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, len(toks) - $windowTokens + 1),
+         |      i -> md5(array_to_string(toks[i + 1 : i + $windowTokens], ' '))) AS wfps
+         |  FROM t),
          |w AS (
          |  SELECT DISTINCT doc_id,
-         |    unnest(list_transform(range(0, len(toks) - $windowTokens + 1, $windowStride),
-         |      i -> md5(array_to_string(toks[i + 1 : i + $windowTokens], ' ')))) AS wfp
-         |  FROM t)
+         |    unnest(list_transform(range(1, greatest(len(wfps) - ${windowStride - 1}, 1) + 1),
+         |      i -> list_sort(wfps[i : i + ${windowStride - 1}])[1])) AS wfp
+         |  FROM wa)
          |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          |FROM w a JOIN w b ON a.wfp = b.wfp AND a.doc_id < b.doc_id
          |ORDER BY a_id, b_id""".stripMargin

@@ -226,14 +226,20 @@ object Dedup {
 
   /** Windowed-fingerprint dedup parameters (the exact-substring dedup
     * tradition — Lee et al. 2021, "Deduplicating Training Data Makes
-    * Language Models Better" — in bounded-window form): fingerprint every
-    * [[windowTokens]]-token window at stride [[windowStride]]; two
-    * documents sharing ANY window fingerprint are near-exact-dup
-    * candidates (a shared run of >= W + S - 1 tokens is guaranteed to be
-    * caught regardless of alignment). Complements MinHash: MinHash finds
-    * whole-document similarity, window fingerprints find long VERBATIM
-    * overlaps between otherwise-different documents (quote chains,
-    * boilerplate headers, copied passages).
+    * Language Models Better" — in bounded-window form): every
+    * [[windowTokens]]-token window is fingerprinted (stride 1) and each
+    * document keeps the MINIMUM fingerprint of every [[windowStride]]
+    * consecutive window positions — WINNOWING (Schleimer et al. 2003,
+    * the MOSS scheme). Selection depends only on window CONTENT, so two
+    * documents sharing a verbatim run of >= W + S - 1 tokens select at
+    * least one common fingerprint REGARDLESS of the run's alignment in
+    * either document. (A positional stride on both sides has NO such
+    * guarantee: each doc then fingerprints only one offset residue class
+    * mod S, so ~(S-1)/S of random alignments share nothing however long
+    * the run — found by review, pinned by the misaligned-run spec.)
+    * Complements MinHash: MinHash finds whole-document similarity, window
+    * fingerprints find long VERBATIM overlaps between otherwise-different
+    * documents (quote chains, boilerplate headers, copied passages).
     */
   val windowTokens = 8
   val windowStride = 4
@@ -241,18 +247,27 @@ object Dedup {
   /** Degenerate-fingerprint guard (the [[minhashMaxBucket]] pattern). */
   val windowMaxBucket = 10000
 
-  /** (doc_id, wfp) window fingerprints over the dup-injected corpus. The
-    * token array is materialized ONCE per row as a column (`toks`) and the
-    * windows slice it — referencing `split(text)` inside the lambda would
-    * re-evaluate the split per window (the O(n²) HOF trap).
+  /** (doc_id, wfp) winnowed window fingerprints over the dup-injected
+    * corpus. The token array is materialized ONCE per row as a column
+    * (`toks`) and the windows slice it — referencing `split(text)` inside
+    * the lambda would re-evaluate the split per window (the O(n²) HOF
+    * trap); likewise the all-windows fingerprint array (`wfps`) is a
+    * column the winnow lambda slices. Documents with fewer than S windows
+    * still select their minimum fingerprint (the greatest(...) floor), so
+    * short-but-shingleable docs participate.
     */
   def windowFingerprints(doc: DataFrame): DataFrame =
     withInjectedDups(doc)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= windowTokens)
+      .select(col("doc_id"), expr(
+        s"""transform(sequence(0, size(toks) - $windowTokens),
+           |  i -> md5(concat_ws(' ', slice(toks, i + 1, $windowTokens))))""".stripMargin)
+        .as("wfps"))
       .select(col("doc_id"), explode(expr(
-        s"""transform(sequence(0, size(toks) - $windowTokens, $windowStride),
-           |  i -> md5(concat_ws(' ', slice(toks, i + 1, $windowTokens))))""".stripMargin))
+        s"""array_distinct(transform(
+           |  sequence(1, greatest(size(wfps) - ${windowStride - 1}, 1)),
+           |  i -> array_min(slice(wfps, i, $windowStride))))""".stripMargin))
         .as("wfp"))
 
   /** Candidate near-exact-dup pairs: docs sharing any window fingerprint.

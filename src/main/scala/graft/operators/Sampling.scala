@@ -110,6 +110,11 @@ object Sampling {
     doc
       .select(col("doc_id"), TextAnalysis.langPredicted.as("predicted"))
       .withColumn("reps", reps)
+      // the stratifiedSample unlisted-stratum guard, for the same reason:
+      // a weights-spec typo zeroes a stratum's replication silently
+      .observe(s"graft_guard_upweight_unlisted_${guardSeq.incrementAndGet()}",
+        sum(when(not(col("predicted").isin(weights.keys.toSeq: _*)), 1L).otherwise(0L))
+          .as("unlisted_rows"))
       // sequence(1, 0) would generate a DESCENDING ramp, not an empty
       // array — zero-replica rows must be filtered before the explode
       .filter(col("reps") > 0)

@@ -1097,11 +1097,14 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     // two docs sharing an 11-token verbatim run (W + S - 1 = 8 + 4 - 1)
     // with totally different surroundings MUST pair regardless of
-    // alignment; doc 3 shares only scattered words -> no pair
+    // alignment — the runs start at token offsets 3 and 1 (different
+    // residues mod the winnow window S=4: a positional stride scheme
+    // provably misses this pair however long the run); doc 3 shares only
+    // scattered words -> no pair
     val run = (1 to 11).map(i => s"quoted$i").mkString(" ")
     val docs = Seq(
       (1L, s"alpha beta gamma $run delta epsilon"),
-      (2L, s"one two three four five six seven $run eight"),
+      (2L, s"zero $run eight nine ten eleven twelve thirteen"),
       (3L, "alpha two gamma four epsilon six quoted1 eight quoted3 ten eleven twelve")
     ).toDF("doc_id", "text")
     val pairs = Dedup.windowDupPairs(docs)
@@ -1139,6 +1142,13 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val m2 = full.queryExecution.observedMetrics
       .find(_._1.startsWith("graft_guard_sample_unlisted"))
     assert(m2.isDefined && m2.get._2.getLong(0) == 0L, s"got $m2")
+    // upweight shares the default-0 mechanism, so it carries the same
+    // guard: a weights typo zeroing a stratum is counted, not silent
+    val upMissing = Sampling.upweight(docs, Sampling.defaultWeights - "und")
+    upMissing.collect()
+    val m3 = upMissing.queryExecution.observedMetrics
+      .find(_._1.startsWith("graft_guard_upweight_unlisted"))
+    assert(m3.isDefined && m3.get._2.getLong(0) == 1L, s"got $m3")
   }
 
   test("dedup: degenerate-block cap drops are observable (graft_caps_* metrics)") {
