@@ -81,15 +81,30 @@ object Plans {
       ("Fractional upweighting (mixture replication)",
         "pure NARROW stage: per-row weight lookup -> Bernoulli -> explode(sequence); zero Exchange",
         fmt(Sampling.upweight(doc))),
-      ("Windowed-fingerprint dedup (exact-substring tradition)",
-        "one-pass window fingerprints (toks materialized once per row) -> ONE shuffle (groupBy wfp) -> streamed in-bucket pairs; capped + observable",
+      ("Windowed-fingerprint dedup (winnowed, exact-substring tradition)",
+        "one-pass stride-1 window fingerprints winnowed to per-span minima (toks and wfps arrays each materialized once per row) -> ONE shuffle (groupBy wfp) -> streamed in-bucket pairs; capped + observable",
         fmt(Dedup.windowDupPairs(doc))),
       ("PII scrubbing",
         "pure NARROW map (codegen'd regexes over the injected corpus): zero Exchange",
         fmt(TextAnalysis.scrubPii(doc))),
       ("Repetition signal (Gopher rules)",
         "pure NARROW map: total 3-grams is arithmetic, only the distinct shingle set (native shingles3 kernel) materializes; zero Exchange",
-        fmt(TextAnalysis.repetition(doc)))
+        fmt(TextAnalysis.repetition(doc))),
+      ("Fixed-length chunking with overlap",
+        "pure NARROW stage: token array + per-chunk fingerprint array materialized once per row -> one posexplode; zero Exchange",
+        fmt(Packing.chunkDocuments(doc))),
+      ("Train/val/test hash split",
+        "pure NARROW map (salted-hash thresholds): zero Exchange, stable under corpus growth",
+        fmt(Sampling.trainSplit(doc))),
+      ("Token-budget mixture selection",
+        "ONE Exchange (the (language, shard) window partition) -> running-sum window in salted-hash priority order -> budget filter; budgets shard-local by construction",
+        fmt(Sampling.mixtureBudget(doc))),
+      ("Corpus-frequency LM scoring",
+        "vocab: ONE map-side-combined word-count shuffle + driver top-K; scoring: BROADCAST hash join of the fixed-size vocab -> one partial-agg groupBy(doc_id)",
+        fmt(TextAnalysis.lmScore(doc))),
+      ("Corpus datasheet (per source x language)",
+        "ONE map-side-combined groupBy; integer signals only",
+        fmt(TextAnalysis.corpusStats(doc)))
     )
 
     val md = new StringBuilder

@@ -166,6 +166,30 @@ object TrainingQueries {
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(Transcripts.documents(s, dir)).orderBy("doc_id")),
 
+    // corpus-frequency LM scoring: top-K vocab (one word-count shuffle +
+    // driver top-K) -> broadcast join -> per-doc OOV/frequency signals
+    "text_lm_score" -> ((s, dir) =>
+      TextAnalysis.lmScore(Transcripts.documents(s, dir)).orderBy("doc_id")),
+
+    // fixed-length chunking with overlap (narrow posexplode, no shuffle)
+    "text_chunks" -> ((s, dir) =>
+      Packing.chunkDocuments(Transcripts.documents(s, dir))
+        .orderBy("doc_id", "chunk_idx")),
+
+    // per-(source, language) corpus datasheet (one partial-agg groupBy)
+    "corpus_stats" -> ((s, dir) =>
+      TextAnalysis.corpusStats(Transcripts.documents(s, dir))
+        .orderBy("source", "predicted")),
+
+    // deterministic hash train/val/test split (narrow map, no shuffle)
+    "sample_train_split" -> ((s, dir) =>
+      Sampling.trainSplit(Transcripts.documents(s, dir)).orderBy("doc_id")),
+
+    // token-budget mixture selection: salted-hash priority order within
+    // (language, shard) strata until the shard budget fills (one shuffle)
+    "sample_mixture_budget" -> ((s, dir) =>
+      Sampling.mixtureBudget(Transcripts.documents(s, dir)).orderBy("doc_id")),
+
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(Transcripts.documents(s, dir)).orderBy("h")),
 
@@ -526,6 +550,118 @@ object TrainingQueries {
          |  CASE WHEN n_grams = 0 THEN 0.0
          |       ELSE round(1.0 - n_distinct * 1.0 / n_grams, 4) END AS dup_gram_ratio
          |FROM t ORDER BY doc_id""".stripMargin,
+
+    "text_lm_score" ->
+      s"""WITH tok AS (
+         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         |v AS (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1
+         |  ORDER BY cnt DESC, token LIMIT ${TextAnalysis.lmVocabSize}),
+         |d AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |j AS (
+         |  SELECT d.doc_id, v.cnt FROM d LEFT JOIN v USING (token)),
+         |g AS (
+         |  SELECT doc_id,
+         |    CAST(count(*) AS INTEGER) AS n_tokens,
+         |    CAST(sum(CASE WHEN cnt IS NULL THEN 1 ELSE 0 END) AS INTEGER) AS n_oov,
+         |    CAST(COALESCE(sum(cnt), 0) AS BIGINT) AS sum_freq
+         |  FROM j GROUP BY 1)
+         |SELECT doc_id, n_tokens, n_oov, sum_freq,
+         |  CASE WHEN n_tokens = n_oov THEN 0.0
+         |       ELSE round(sum_freq * 1.0 / (n_tokens - n_oov), 4) END AS mean_invocab_freq
+         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "text_chunks" -> {
+      import graft.operators.Packing.{chunkTokens, chunkStride}
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |c AS (
+         |  SELECT doc_id, len(toks) AS n, toks,
+         |    CASE WHEN len(toks) <= $chunkTokens THEN 1
+         |         ELSE (len(toks) - $chunkTokens + $chunkStride - 1) // $chunkStride + 1
+         |    END AS n_chunks
+         |  FROM t),
+         |u AS (
+         |  SELECT doc_id, n,
+         |    CAST(unnest(range(0, n_chunks)) AS INTEGER) AS chunk_idx,
+         |    unnest(list_transform(range(0, n_chunks),
+         |      i -> md5(array_to_string(
+         |        toks[CAST(i * $chunkStride + 1 AS INTEGER) : CAST(i * $chunkStride + $chunkTokens AS INTEGER)],
+         |        ' ')))) AS chunk_fp
+         |  FROM c)
+         |SELECT doc_id, chunk_idx,
+         |  CAST(chunk_idx * $chunkStride AS INTEGER) AS start_token,
+         |  CAST(least($chunkTokens, n - chunk_idx * $chunkStride) AS INTEGER) AS n_chunk_tokens,
+         |  chunk_fp
+         |FROM u ORDER BY doc_id, chunk_idx""".stripMargin
+    },
+
+    "corpus_stats" ->
+      s"""WITH s AS (
+         |  SELECT source, text,
+         |    ${duckLangCounts()}
+         |  FROM documents),
+         |p AS (
+         |  SELECT source,
+         |    $duckLangCase AS predicted,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    CAST(length(text) AS BIGINT) AS n_chars
+         |  FROM s)
+         |SELECT source, predicted,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  round(sum(n_tokens) * 1.0 / count(*), 4) AS mean_tokens,
+         |  CAST(sum(CASE WHEN n_tokens < 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+         |FROM p GROUP BY 1, 2 ORDER BY source, predicted""".stripMargin,
+
+    "sample_train_split" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, text,
+         |    ${duckLangCounts()}
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id,
+         |    $duckLangCase AS predicted
+         |  FROM s),
+         |h AS (
+         |  SELECT doc_id, predicted,
+         |    CAST('0x' || substr(md5('graft-split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+         |      * 1.0 / 4294967296 AS u
+         |  FROM p)
+         |SELECT doc_id, predicted,
+         |  CASE WHEN u < ${Sampling.splitTrain} THEN 'train'
+         |       WHEN u < ${Sampling.splitVal} THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "sample_mixture_budget" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, text,
+         |    ${duckLangCounts()}
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, text,
+         |    $duckLangCase AS predicted
+         |  FROM s),
+         |h AS (
+         |  SELECT doc_id, predicted,
+         |    CAST(doc_id % ${Sampling.budgetShards} AS INTEGER) AS shard,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    CAST('0x' || substr(md5('graft-budget:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+         |      * 1.0 / 4294967296 AS u
+         |  FROM p),
+         |c AS (
+         |  SELECT *,
+         |    COALESCE(sum(n_tokens) OVER (
+         |      PARTITION BY predicted, shard ORDER BY u, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM h)
+         |SELECT doc_id, predicted, shard, n_tokens,
+         |  CAST(cum_before AS BIGINT) AS cum_before
+         |FROM c WHERE cum_before < ${Sampling.budgetTokens}
+         |ORDER BY doc_id""".stripMargin,
 
     "text_scrub_pii" -> {
       import graft.operators.TextAnalysis.{emailPattern, phonePattern}

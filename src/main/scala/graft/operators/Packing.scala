@@ -31,6 +31,51 @@ object Packing {
     */
   val packShards = 16
 
+  /** Tokens per training chunk and the chunk stride for [[chunkDocuments]]
+    * (overlap = [[chunkTokens]] - [[chunkStride]] = 32 tokens, the standard
+    * sliding-window form so no token is ever more than one chunk boundary
+    * away from chunkStride tokens of left context).
+    */
+  val chunkTokens = 128
+  val chunkStride = 96
+
+  /** Fixed-length CHUNKING with overlap — the other sequence-prep shape
+    * ([[packContexts]] concatenates short docs into fixed contexts; this
+    * SPLITS long docs into them): chunk i covers tokens
+    * [i*stride, i*stride + chunkTokens); the last chunk starts at the last
+    * offset still needed, so every token is covered and every doc emits at
+    * least one chunk. Returns one row per chunk:
+    * (doc_id, chunk_idx, start_token, n_chunk_tokens, chunk_fp) — the
+    * chunk text rides as an md5 fingerprint (the payload write is the
+    * caller's tokenizer's job; the fingerprint keeps results compact and
+    * oracle-hashable).
+    *
+    * Scale shape: a PURE NARROW stage — the token array and the per-chunk
+    * fingerprint array are each materialized once per row as columns (the
+    * O(n²) HOF re-evaluation trap, see [[graft.operators.Dedup.windowFingerprints]]),
+    * then one posexplode. No shuffle, no state; pushdown/pruning intact.
+    */
+  def chunkDocuments(doc: DataFrame): DataFrame = {
+    val nChunks =
+      when(col("n") <= chunkTokens, lit(1L))
+        .otherwise(expr(s"(n - $chunkTokens + $chunkStride - 1) div $chunkStride") + lit(1L))
+    doc
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n"), col("toks"))
+      .withColumn("n_chunks", nChunks)
+      .select(col("doc_id"), col("n"),
+        posexplode(expr(
+          s"""transform(sequence(0L, n_chunks - 1),
+             |  i -> md5(concat_ws(' ', slice(toks, int(i * $chunkStride) + 1, $chunkTokens))))""".stripMargin)))
+      .select(
+        col("doc_id"),
+        col("pos").cast("int").as("chunk_idx"),
+        (col("pos") * chunkStride).cast("int").as("start_token"),
+        least(lit(chunkTokens), col("n") - col("pos") * chunkStride).cast("int")
+          .as("n_chunk_tokens"),
+        col("col").as("chunk_fp"))
+  }
+
   /** Pack assignment over the documents table, stratified by predicted
     * language (packs are language-homogeneous — the common curriculum
     * choice) and sharded by doc_id. Returns one row per document:

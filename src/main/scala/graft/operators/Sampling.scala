@@ -124,6 +124,78 @@ object Sampling {
         explode(expr("sequence(1, reps)")).as("rep_idx"))
   }
 
+  /** Held-out split fractions: 90% train / 5% validation / 5% test. */
+  val splitTrain = 0.90
+  val splitVal = 0.95
+
+  /** Deterministic train/validation/test assignment — the hash-split every
+    * training corpus needs before anything is trained on it: the SAME
+    * salted uniform as [[stratifiedSample]] thresholded at
+    * [[splitTrain]]/[[splitVal]]. Hash-of-id splitting (vs random) means
+    * the assignment is stable under reprocessing, cluster-size-independent,
+    * and new documents join a split without moving old ones — the property
+    * that keeps a held-out set held out across corpus versions. Within
+    * each language stratum the split fractions hold in expectation (the
+    * hash is independent of content); the predicted language rides along
+    * so per-stratum split audits are one groupBy away.
+    *
+    * Scale shape: a PURE NARROW map (no shuffle, no state, plan-pinned).
+    */
+  def trainSplit(doc: DataFrame, salt: String = "graft-split"): DataFrame = {
+    val u = uniformHash(salt, col("doc_id"))
+    doc.select(
+      col("doc_id"),
+      TextAnalysis.langPredicted.as("predicted"),
+      when(u < splitTrain, "train").when(u < splitVal, "val").otherwise("test")
+        .as("split"))
+  }
+
+  /** Token budget per (stratum, shard) for [[mixtureBudget]]. */
+  val budgetTokens = 600L
+
+  /** Shards per stratum — the same parallelism knob as
+    * [[Packing.packShards]], for the same reason.
+    */
+  val budgetShards = 16
+
+  /** TOKEN-BUDGET mixture construction — the step that turns "x billion
+    * tokens of German" into a concrete document set: within each
+    * (predicted-language, shard) stratum, documents are taken in salted-
+    * hash priority order until the stratum's token budget is exhausted
+    * (a document crossing the budget line is KEPT — budgets are met from
+    * below by whole documents, the standard convention). Returns the
+    * selected rows with their priority and running-token position.
+    *
+    * Scale shape: ONE shuffle (the window partition key), and the window
+    * partitions on (stratum, shard) — budgets are sharded exactly like
+    * [[Packing.packContexts]] contexts, so no global ordering exists, no
+    * single task serializes a stratum, and shard count scales with the
+    * cluster; the per-shard budget is total/shards by construction.
+    * Priority = the salted uniform, so the selection inherits the
+    * sampler's properties: reproducible, salt-keyed, and NESTED across
+    * budgets (a smaller budget selects a PREFIX of a larger budget's
+    * docs — scaling-law ladders again).
+    */
+  def mixtureBudget(
+      doc: DataFrame,
+      budget: Long = budgetTokens,
+      salt: String = "graft-budget"
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = uniformHash(salt, col("doc_id"))
+    val shard = pmod(col("doc_id"), lit(budgetShards.toLong)).cast("int")
+    val w = Window.partitionBy(col("predicted"), col("shard"))
+      .orderBy(col("u"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    doc
+      .select(col("doc_id"), TextAnalysis.langPredicted.as("predicted"),
+        shard.as("shard"), size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+        u.as("u"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("cum_before") < budget)
+      .drop("u")
+  }
+
   /** Benchmark DECONTAMINATION: drop every training document sharing at
     * least one word-3-gram shingle with the evaluation corpus — the
     * pre-training hygiene step that keeps eval benchmarks out of the

@@ -194,4 +194,69 @@ object TextAnalysis {
       md5(scrubbed).as("scrubbed_fp"),
       length(scrubbed).cast("int").as("n_chars_scrubbed"))
   }
+
+  /** Vocabulary size for [[lmScore]] — the top-K corpus tokens kept
+    * in-vocabulary (everything else is OOV).
+    */
+  val lmVocabSize = 100
+
+  /** Corpus-frequency language-model scoring — the CCNet/KenLM-style
+    * "does this document look like the corpus" filter in integer-exact
+    * miniature: build the corpus's top-[[lmVocabSize]] token vocabulary
+    * (count desc, token asc tiebreak — a total order both engines agree
+    * on), then score each document by its OOV-token count and the mean
+    * corpus frequency of its in-vocabulary tokens. Gibberish and
+    * out-of-domain text scores high-OOV / low-frequency and is filtered
+    * before training. All signals are ratios of integers, so the DuckDB
+    * twin is exact (the float-log perplexity form would make the oracle
+    * hash hostage to double summation order).
+    *
+    * Scale shape: the vocabulary is ONE map-side-combined groupBy over
+    * exploded tokens (partial counts per token — the classic word-count
+    * shuffle, bounded by distinct-token cardinality per partition) +
+    * a driver-side top-K (vocabSize rows); scoring is then a BROADCAST
+    * hash join of the fixed-size vocab against exploded tokens and one
+    * partial-agg groupBy(doc_id) — no corpus-side shuffle beyond the
+    * per-doc re-agg, and the vocab side is bounded by K, never by data.
+    */
+  def lmScore(doc: DataFrame, vocabSize: Int = lmVocabSize): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, sum => fsum}
+    val tok = doc.select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val vocab = tok.orderBy(col("cnt").desc, col("token")).limit(vocabSize)
+    val scored = doc
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("int").as("n_tokens"),
+        fsum(when(col("cnt").isNull, 1L).otherwise(0L)).cast("int").as("n_oov"),
+        fsum(coalesce(col("cnt"), lit(0L))).cast("long").as("sum_freq"))
+    scored.select(
+      col("doc_id"), col("n_tokens"), col("n_oov"), col("sum_freq"),
+      when(col("n_tokens") === col("n_oov"), 0.0)
+        .otherwise(round(col("sum_freq").cast("double") /
+          (col("n_tokens") - col("n_oov")).cast("double"), 4))
+        .as("mean_invocab_freq"))
+  }
+
+  /** Per-(source, language) corpus DATASHEET — the composition report every
+    * corpus release ships (docs, tokens, chars, mean length, short-doc
+    * count per cell). ONE map-side-combined groupBy; every signal is an
+    * integer or a ratio of integers (oracle-exact).
+    */
+  def corpusStats(doc: DataFrame): DataFrame = {
+    val n = size(tokens(col("text")))
+    doc
+      .select(col("source"), langPredicted.as("predicted"),
+        n.cast("long").as("n_tokens"), length(col("text")).cast("long").as("n_chars"))
+      .groupBy("source", "predicted")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        round(sum(col("n_tokens")).cast("double") / count(lit(1)).cast("double"), 4)
+          .as("mean_tokens"),
+        sum(when(col("n_tokens") < 30, 1L).otherwise(0L)).as("n_short"))
+  }
 }

@@ -1151,6 +1151,145 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m3.isDefined && m3.get._2.getLong(0) == 1L, s"got $m3")
   }
 
+  test("chunking: full coverage, overlap arithmetic, short docs, narrow plan") {
+    import graft.operators.Packing
+    import spark.implicits._
+    val doc = Transcripts.documents(spark, sfDir)
+    val chunks = Packing.chunkDocuments(doc).cache()
+    val toks = doc.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n"))
+    // every token of every doc is covered: the last chunk ends at n, chunk
+    // starts step by the stride, and sizes are the least(chunkTokens, rest)
+    val agg = chunks.groupBy("doc_id").agg(
+      count(lit(1)).as("n_chunks"),
+      max(col("start_token") + col("n_chunk_tokens")).as("covered"),
+      min("n_chunk_tokens").as("min_len"))
+    val j = agg.join(toks, Seq("doc_id")).cache()
+    assert(j.filter(col("covered") =!= col("n")).count() == 0, "uncovered tail tokens")
+    assert(j.filter(col("min_len") <= 0).count() == 0, "empty chunk emitted")
+    assert(j.filter(col("n") <= Packing.chunkTokens && col("n_chunks") =!= 1).count() == 0,
+      "short doc split needlessly")
+    j.unpersist()
+    // consecutive chunks overlap by exactly chunkTokens - chunkStride,
+    // except the final (possibly short) chunk which still starts on stride
+    val idx = chunks.select(col("doc_id"), col("chunk_idx"), col("start_token"))
+    assert(idx.filter(col("start_token") =!= col("chunk_idx") * Packing.chunkStride)
+      .count() == 0)
+    // fingerprint is the md5 of the chunk's actual tokens (hand case: 5
+    // tokens, chunk size 128 -> one chunk, fp = md5 of the whole text)
+    val tiny = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val got = Packing.chunkDocuments(tiny).collect()
+    assert(got.length == 1)
+    assert(got(0).getString(4) ==
+      tiny.select(md5(col("text"))).collect()(0).getString(0))
+    assert(got(0).getInt(3) == 5)
+    chunks.unpersist()
+    // pure narrow stage: no Exchange
+    val plan = Packing.chunkDocuments(doc).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"plan:\n$plan")
+  }
+
+  test("train split: partition, determinism, subset stability, narrow plan") {
+    import graft.operators.Sampling
+    val doc = Transcripts.documents(spark, sfDir)
+    val s = Sampling.trainSplit(doc).cache()
+    // exactly one split per doc, and only the three labels exist
+    assert(s.count() == doc.count())
+    val labels = s.select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(labels.subsetOf(Set("train", "val", "test")))
+    // proportions: binomial(500, 0.9) is within +-6 sigma of 450
+    val nTrain = s.filter(col("split") === "train").count()
+    assert(math.abs(nTrain - 0.9 * doc.count()) < 6 * math.sqrt(0.09 * doc.count()),
+      s"train fraction off: $nTrain of ${doc.count()}")
+    // hash-split stability: restricting the corpus does NOT move surviving
+    // docs between splits (the held-out set stays held out across corpus
+    // versions) — a random split has no such property
+    val sub = Sampling.trainSplit(doc.filter(col("doc_id") < 100))
+    val moved = sub.withColumnRenamed("split", "sub_split")
+      .join(s, Seq("doc_id"))
+      .filter(col("sub_split") =!= col("split")).count()
+    assert(moved == 0)
+    s.unpersist()
+    val plan = Sampling.trainSplit(doc).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"plan:\n$plan")
+  }
+
+  test("mixture budget: budget respected, nested, priority-prefix, one shuffle") {
+    import graft.operators.Sampling
+    val doc = Transcripts.documents(spark, sfDir)
+    val sel = Sampling.mixtureBudget(doc).cache()
+    // every selected doc started strictly inside its shard's budget
+    assert(sel.filter(col("cum_before") >= Sampling.budgetTokens).count() == 0)
+    // nested: a half budget selects a SUBSET (prefix property of the
+    // priority order — the scaling-law ladder again)
+    val halfIds = Sampling.mixtureBudget(doc, budget = Sampling.budgetTokens / 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val fullIds = sel.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(halfIds.subsetOf(fullIds) && halfIds.size < fullIds.size)
+    // priority-prefix: within a (stratum, shard), no UNSELECTED doc has a
+    // lower priority hash than a selected one's cum window would allow —
+    // equivalently, re-deriving the prefix sum over the selected rows in
+    // (u-order = cum_before order) reproduces cum_before exactly
+    val rows = sel.filter(col("predicted") === "en" && col("shard") === 3)
+      .orderBy("cum_before").collect()
+    var cum = 0L
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cum_before") == cum, s"gap in prefix sums at $r")
+      cum += r.getAs[Long]("n_tokens")
+    }
+    sel.unpersist()
+    // exactly ONE Exchange: the (predicted, shard) window partition
+    val plan = Sampling.mixtureBudget(doc).queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllMatchIn(plan).length == 1, s"plan:\n$plan")
+  }
+
+  test("lm score: vocab tiebreak, oov counting, all-oov doc, broadcast plan") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    // corpus token counts: x=4, y=3, z=2, w=2, q=1, uuu/vvv/www=1 each —
+    // a tie at the vocabSize=3 boundary ('w' vs 'z', both 2) resolved by
+    // the deterministic token-asc tiebreak: 'w' kept, 'z' dropped
+    val docs = Seq(
+      (1L, "x x y w"),
+      (2L, "x y z w q"),
+      (3L, "x y z"),
+      (4L, "uuu vvv www")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lmScore(docs, vocabSize = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+    // vocab = {x:4, y:3, w:2}; doc 1: 0 oov, sum = 4+4+3+2 = 13, mean 3.25
+    // doc 2: oov {z, q}, sum = 4+3+2 = 9, mean 3.0
+    // doc 3: oov {z}, sum = 4+3 = 7, mean 3.5
+    // doc 4: ALL oov -> mean 0.0 (the n_tokens == n_oov branch)
+    assert(got(0) == (1L, 4, 0, 13L, 3.25), s"got ${got(0)}")
+    assert(got(1) == (2L, 5, 2, 9L, 3.0), s"got ${got(1)}")
+    assert(got(2) == (3L, 3, 1, 7L, 3.5), s"got ${got(2)}")
+    assert(got(3) == (4L, 3, 3, 0L, 0.0), s"got ${got(3)}")
+    // the vocab side joins BROADCAST (fixed-size side, never the corpus)
+    val plan = TextAnalysis.lmScore(Transcripts.documents(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+  }
+
+  test("corpus stats: totals cross-check against tokenCounts") {
+    import graft.operators.TextAnalysis
+    val doc = Transcripts.documents(spark, sfDir)
+    val stats = TextAnalysis.corpusStats(doc)
+    val total = stats.agg(
+      sum("n_docs").cast("long"), sum("total_tokens").cast("long"),
+      sum("total_chars").cast("long")).collect()(0)
+    val direct = TextAnalysis.tokenCounts(doc).agg(
+      count(lit(1)), sum(col("n_tokens")).cast("long"),
+      sum(col("n_chars")).cast("long")).collect()(0)
+    assert(total.getLong(0) == direct.getLong(0))
+    assert(total.getLong(1) == direct.getLong(1))
+    assert(total.getLong(2) == direct.getLong(2))
+    // cells partition the corpus: no (source, predicted) repeats
+    assert(stats.groupBy("source", "predicted").count()
+      .filter(col("count") > 1).count() == 0)
+  }
+
   test("dedup: degenerate-block cap drops are observable (graft_caps_* metrics)") {
     // the caps (minhashMaxBucket / simhashMaxBlock / nearDupMaxBucket) are
     // unreachable at test scale, so the contract to pin is OBSERVABILITY:
