@@ -613,7 +613,7 @@ object TrainingQueries {
          |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
          |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
          |  round(sum(n_tokens) * 1.0 / count(*), 4) AS mean_tokens,
-         |  CAST(sum(CASE WHEN n_tokens < 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+         |  CAST(sum(CASE WHEN n_tokens < ${TextAnalysis.shortDocTokens} THEN 1 ELSE 0 END) AS BIGINT) AS n_short
          |FROM p GROUP BY 1, 2 ORDER BY source, predicted""".stripMargin,
 
     "sample_train_split" ->

@@ -60,7 +60,7 @@ object Packing {
       when(col("n") <= chunkTokens, lit(1L))
         .otherwise(expr(s"(n - $chunkTokens + $chunkStride - 1) div $chunkStride") + lit(1L))
     doc
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("n"), col("toks"))
       .withColumn("n_chunks", nChunks)
       .select(col("doc_id"), col("n"),

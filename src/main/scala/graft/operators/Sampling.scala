@@ -164,7 +164,9 @@ object Sampling {
     * hash priority order until the stratum's token budget is exhausted
     * (a document crossing the budget line is KEPT — budgets are met from
     * below by whole documents, the standard convention). Returns the
-    * selected rows with their priority and running-token position.
+    * selected rows with their running-token position (`cum_before`; the
+    * priority hash itself is internal — recompute it via [[uniformHash]]
+    * with the same salt to audit the order).
     *
     * Scale shape: ONE shuffle (the window partition key), and the window
     * partitions on (stratum, shard) — budgets are sharded exactly like

@@ -240,6 +240,9 @@ object TextAnalysis {
         .as("mean_invocab_freq"))
   }
 
+  /** Documents under this many tokens count as "short" in [[corpusStats]]. */
+  val shortDocTokens = 30
+
   /** Per-(source, language) corpus DATASHEET — the composition report every
     * corpus release ships (docs, tokens, chars, mean length, short-doc
     * count per cell). ONE map-side-combined groupBy; every signal is an
@@ -257,6 +260,6 @@ object TextAnalysis {
         sum(col("n_chars")).as("total_chars"),
         round(sum(col("n_tokens")).cast("double") / count(lit(1)).cast("double"), 4)
           .as("mean_tokens"),
-        sum(when(col("n_tokens") < 30, 1L).otherwise(0L)).as("n_short"))
+        sum(when(col("n_tokens") < shortDocTokens, 1L).otherwise(0L)).as("n_short"))
   }
 }

@@ -144,4 +144,66 @@ object CoreProperties extends Properties("core") {
       val c = Extractor.clampTimeout(t)
       c > 0 && c <= Extractor.DefaultTimeoutSeconds && Extractor.clampTimeout(c) == c
     }
+
+  property("chunk formulas cover every token, no empty/misaligned chunk, bounded overlap") =
+    forAll(Gen.chooseNum(1, 5000)) { n =>
+      import graft.operators.Packing.{chunkTokens => ct, chunkStride => cs}
+      // the CLOSED FORM both the Spark operator and the DuckDB twin use
+      val nChunks = if (n <= ct) 1 else (n - ct + cs - 1) / cs + 1
+      val spans = (0 until nChunks).map { i =>
+        val start = i * cs
+        (start, math.min(ct, n - start))
+      }
+      spans.forall { case (s, len) => len > 0 && s % cs == 0 && s + len <= n } &&
+      spans.last._1 + spans.last._2 == n && // last chunk reaches the end...
+      spans.init.forall { case (s, len) => len == ct } && // ...others are full
+      // consecutive full chunks overlap by exactly chunkTokens - stride
+      spans.sliding(2).forall {
+        case Seq((a, _), (b, _)) => b - a == cs
+        case _                   => true
+      }
+    }
+
+  property("winnowing: docs sharing a run >= W+S-1 tokens share a fingerprint at ANY alignment") = {
+    import graft.operators.Dedup.{windowTokens => w, windowStride => s}
+    val tok: Gen[String] = Gen.chooseNum(0, 50).map(i => s"t$i")
+    val toks: Gen[List[String]] = Gen.listOf(tok)
+    forAll(toks, toks, Gen.chooseNum(0, 40), Gen.chooseNum(0, 40)) { (pre1, pre2, cut1, cut2) =>
+      // a shared verbatim run of exactly W + S - 1 distinct-vocab tokens
+      // inserted at ARBITRARY offsets into otherwise-arbitrary docs (the
+      // round-5 review found the positional-stride scheme missed exactly
+      // the misaligned cases; winnowing's content-defined selection must
+      // catch them all)
+      val run = (1 to (w + s - 1)).map(i => s"run$i")
+      val d1 = pre1.take(cut1) ++ run ++ pre1.drop(cut1)
+      val d2 = pre2.take(cut2) ++ run ++ pre2.drop(cut2)
+      TextMirrors.winnowedFps(d1).intersect(TextMirrors.winnowedFps(d2)).nonEmpty
+    }
+  }
+}
+
+/** Pure-Scala mirrors of columnar text kernels, shared by the ScalaCheck
+  * laws above and the PipelineSpec parity tests that pin them to the
+  * operators' actual Spark output (so the mirror cannot drift silently).
+  */
+object TextMirrors {
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Mirror of [[graft.operators.Dedup.windowFingerprints]]'s per-document
+    * selection: md5 of every windowTokens-token window (stride 1), winnowed
+    * to the minimum of every windowStride consecutive window positions
+    * (whole-list minimum when fewer windows than a span).
+    */
+  def winnowedFps(toks: Seq[String]): Set[String] = {
+    import graft.operators.Dedup.{windowTokens => w, windowStride => s}
+    if (toks.size < w) Set.empty
+    else {
+      val wfps = toks.sliding(w).map(win => md5hex(win.mkString(" "))).toVector
+      (0 until math.max(wfps.size - s + 1, 1))
+        .map(i => wfps.slice(i, i + s).min).toSet
+    }
+  }
 }

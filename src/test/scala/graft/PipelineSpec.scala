@@ -1111,6 +1111,16 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)), s"verbatim run missed: $pairs")
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"false pair on doc 3: $pairs")
+    // the operator's per-doc fingerprint selection matches the pure mirror
+    // that drives the ScalaCheck any-alignment winnowing law (the mirror
+    // cannot drift from the Spark columnar form unnoticed)
+    val fps = Dedup.windowFingerprints(docs).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+    docs.collect().foreach { r =>
+      val expect = TextMirrors.winnowedFps(r.getString(1).split(" ").toIndexedSeq)
+      assert(fps.getOrElse(r.getLong(0), Set.empty) == expect,
+        s"mirror/operator divergence on doc ${r.getLong(0)}")
+    }
     // and over the corpus: every injected whole-document dup is found
     val doc = Transcripts.documents(spark, sfDir)
     val corpus = Dedup.windowDupPairs(doc)
