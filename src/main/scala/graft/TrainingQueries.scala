@@ -252,6 +252,12 @@ object TrainingQueries {
         .orderBy("doc_id")
     }),
 
+    // STREAMING incremental dedup: the same semantics as dedup_incremental
+    // but with incoming docs as an AvailableNow stream checked against the
+    // static corpus artifacts (stateless stream-static joins)
+    "dedup_incremental_stream" -> ((s, dir) =>
+      Dedup.runStreamingIncremental(s, dir).orderBy("doc_id")),
+
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(Transcripts.documents(s, dir)).orderBy("doc_id")),
 
@@ -332,6 +338,34 @@ object TrainingQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).cast("long").as("total_tokens"),
           sum(length(col("text"))).cast("long").as("total_chars"))
+        .orderBy("predicted")
+    }),
+
+    // Composed end-to-end DATA-PREP pipeline over the new-family operators:
+    // benchmark decontamination -> train-split (keep the train fold) ->
+    // token-budget mixture selection -> fixed-length chunking -> the
+    // per-language selection report. Plan shape: one broadcast join
+    // (decontam), narrow split+budget-hash maps, ONE window shuffle
+    // (budget), narrow chunking, one partial-agg groupBy — every stage the
+    // 100 TB shape of its standalone operator.
+    "data_prep_e2e" -> ((s, dir) => {
+      val doc = Transcripts.documents(s, dir)
+      val clean = Sampling.decontaminate(doc, Sampling.evalHoldout(doc))
+      val train = Sampling.trainSplit(clean)
+        .filter(col("split") === "train").select("doc_id")
+      val selected = Sampling.mixtureBudget(clean.join(train, Seq("doc_id")))
+      val chunks = Packing
+        .chunkDocuments(clean.join(selected.select("doc_id"), Seq("doc_id")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("doc_chunks"),
+          sum("n_chunk_tokens").as("doc_chunk_tokens"))
+      selected.join(chunks, Seq("doc_id"))
+        .groupBy("predicted")
+        .agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum("n_tokens").cast("long").as("sel_tokens"),
+          sum("doc_chunks").cast("long").as("n_chunks"),
+          sum("doc_chunk_tokens").cast("long").as("chunk_tokens"))
         .orderBy("predicted")
     }),
 
@@ -711,8 +745,87 @@ object TrainingQueries {
          |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
          |ORDER BY doc_id""".stripMargin,
 
-    "dedup_incremental" ->
-      s"""WITH existing AS (
+    "data_prep_e2e" -> {
+      import graft.operators.Packing.{chunkTokens, chunkStride}
+      // per-doc chunk totals use the closed forms the chunk-coverage
+      // ScalaCheck law proves: n_chunks as in text_chunks, and
+      // sum(chunk lengths) = n + (n_chunks - 1) * (chunkTokens - stride)
+      s"""WITH ev AS (
+         |  SELECT DISTINCT unnest($duckShingles) AS shingle
+         |  FROM documents
+         |  WHERE doc_id % 97 = 0 AND len(string_split(text, ' ')) >= 3),
+         |tr AS (
+         |  SELECT doc_id, unnest($duckShingles) AS shingle
+         |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+         |bad AS (SELECT DISTINCT tr.doc_id FROM tr JOIN ev USING (shingle)),
+         |clean AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+         |s AS (
+         |  SELECT doc_id, text,
+         |    ${duckLangCounts()}
+         |  FROM clean),
+         |p AS (
+         |  SELECT doc_id, text,
+         |    $duckLangCase AS predicted
+         |  FROM s),
+         |train AS (
+         |  SELECT doc_id, text, predicted FROM p
+         |  WHERE CAST('0x' || substr(md5('graft-split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+         |      * 1.0 / 4294967296 < ${Sampling.splitTrain}),
+         |h AS (
+         |  SELECT doc_id, predicted,
+         |    CAST(doc_id % ${Sampling.budgetShards} AS INTEGER) AS shard,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    CAST('0x' || substr(md5('graft-budget:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+         |      * 1.0 / 4294967296 AS u
+         |  FROM train),
+         |c AS (
+         |  SELECT *,
+         |    COALESCE(sum(n_tokens) OVER (
+         |      PARTITION BY predicted, shard ORDER BY u, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM h),
+         |sel AS (SELECT * FROM c WHERE cum_before < ${Sampling.budgetTokens}),
+         |k AS (
+         |  SELECT doc_id, predicted, n_tokens,
+         |    CASE WHEN n_tokens <= $chunkTokens THEN 1
+         |         ELSE (n_tokens - $chunkTokens + $chunkStride - 1) // $chunkStride + 1
+         |    END AS n_chunks
+         |  FROM sel)
+         |SELECT predicted,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sel_tokens,
+         |  CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+         |  CAST(sum(n_tokens + (n_chunks - 1) * ${chunkTokens - chunkStride}) AS BIGINT) AS chunk_tokens
+         |FROM k GROUP BY 1 ORDER BY predicted""".stripMargin
+    },
+
+    "dedup_incremental" -> duckIncrementalSql,
+
+    // identical semantics by design: the stream-static form must reproduce
+    // the batch operator's survivors exactly
+    "dedup_incremental_stream" -> duckIncrementalSql,
+
+    "dedup_simhash" -> {
+      val bitTerms = (0 until Dedup.simhashBits).map { b =>
+        s"(CASE WHEN len(list_filter(hs, x -> ((x >> $b) & 1) = 1)) * 2 > len(hs) THEN ${1 << b} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    list_transform(string_split(text, ' '),
+         |      t -> CAST('0x' || substr(md5(t), 1, 4) AS INTEGER)) AS hs
+         |  FROM documents)
+         |SELECT doc_id, CAST($bitTerms AS INTEGER) AS simhash
+         |FROM h ORDER BY doc_id""".stripMargin
+    }
+  ) ++ oracleSqlRest
+
+  /** DuckDB twin shared by the batch and streaming incremental-dedup
+    * queries (the streaming form is the same operator fed by a stream).
+    */
+  private lazy val duckIncrementalSql: String =
+    s"""WITH existing AS (
          |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
          |incoming AS (
          |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
@@ -734,21 +847,13 @@ object TrainingQueries {
          |SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars
          |FROM incoming
          |WHERE doc_id NOT IN (SELECT doc_id FROM neardup UNION SELECT doc_id FROM exactdup)
-         |ORDER BY doc_id""".stripMargin,
+         |ORDER BY doc_id""".stripMargin
 
-    "dedup_simhash" -> {
-      val bitTerms = (0 until Dedup.simhashBits).map { b =>
-        s"(CASE WHEN len(list_filter(hs, x -> ((x >> $b) & 1) = 1)) * 2 > len(hs) THEN ${1 << b} ELSE 0 END)"
-      }.mkString(" + ")
-      s"""WITH h AS (
-         |  SELECT doc_id,
-         |    list_transform(string_split(text, ' '),
-         |      t -> CAST('0x' || substr(md5(t), 1, 4) AS INTEGER)) AS hs
-         |  FROM documents)
-         |SELECT doc_id, CAST($bitTerms AS INTEGER) AS simhash
-         |FROM h ORDER BY doc_id""".stripMargin
-    },
-
+  /** The remainder of the oracle map (split only so
+    * [[duckIncrementalSql]] can sit between the two halves as a shared
+    * definition — the keys are one logical map).
+    */
+  private lazy val oracleSqlRest: Map[String, String] = Map(
     "dedup_minhash_stream" -> {
       val band0 = s"md5(${(0 until Dedup.minhashRowsPerBand).map(duckMinhash).mkString(" || '_' || ")})"
       s"""WITH base AS $duckDupBase,

@@ -62,4 +62,23 @@ object Staged {
         .write.mode("overwrite").parquet(p)
       p
     })
+
+  /** The INCOMING side of the incremental-dedup queries (docs not in the
+    * existing corpus plus re-ingested copies of every 5th existing doc
+    * under shifted ids — the batch `dedup_incremental` construction
+    * exactly), staged once per sfDir. ONE file (single-micro-batch
+    * guarantee); the streaming spec stages its own multi-file variant.
+    */
+  def incomingDocs(spark: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(s"incoming:$sfDir", {
+      val p = TmpDirs.create("graft_staged_in_")
+      val base = Transcripts.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      val existing = base.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      base.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .unionAll(existing.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
 }

@@ -300,6 +300,36 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(survivors.count() == expected)
   }
 
+  test("streaming: incremental dedup equals the batch operator across micro-batches") {
+    val base = tmpDir("graft_sincr2_")
+    val docAll = Transcripts.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val existing = docAll.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val newDocs = docAll.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val reingest = existing.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    // batch 1: the genuinely-new docs; batch 2: re-ingested copies of
+    // existing docs — every batch-2 row duplicates the STATIC corpus, so
+    // the stateless stream-static form must drop them all without any
+    // cross-batch state (that is the operator's scale claim)
+    newDocs.coalesce(1).write.mode("overwrite").parquet(s"$base/in")
+    val first = parquetFiles(s"$base/in")
+    reingest.coalesce(1).write.mode("append").parquet(s"$base/in")
+    orderBatches(s"$base/in", first)
+    val q = Dedup.streamingIncrementalQuery(spark, existing, s"$base/in",
+      s"$base/out", s"$base/cp", maxFilesPerTrigger = Some(1))
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "input did not split into multiple micro-batches")
+    val got = spark.read.parquet(s"$base/out").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val want = Dedup.incrementalDedup(existing, newDocs.unionAll(reingest))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want,
+      s"stream/batch divergence: ${(got diff want) ++ (want diff got)}")
+    assert(got.nonEmpty && got.forall(_ < 2000000L),
+      "a re-ingested duplicate of the static corpus survived")
+  }
+
   test("lineage: empty buckets still commit (one-job path, 64 buckets over 50 convs)") {
     val t = Transcripts.fromDocuments(spark, sfDir)
     val out = tmpDir("graft_empty_")
