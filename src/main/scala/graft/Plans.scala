@@ -104,7 +104,25 @@ object Plans {
         fmt(TextAnalysis.lmScore(doc))),
       ("Corpus datasheet (per source x language)",
         "ONE map-side-combined groupBy; integer signals only",
-        fmt(TextAnalysis.corpusStats(doc)))
+        fmt(TextAnalysis.corpusStats(doc))),
+      ("Composed data-prep pipeline (decontaminate -> split -> budget -> chunk -> report)",
+        "the decontaminated corpus is materialized ONCE (localCheckpoint -> LogicalRDD; three consumers, zero decontam re-runs), then: narrow hash maps (split + budget priority), ONE window Exchange (sharded budget), narrow chunking, one partial-agg groupBy per report stage — each stage its standalone operator's scale shape",
+        {
+          val clean = Sampling.decontaminate(doc, Sampling.evalHoldout(doc))
+            .localCheckpoint()
+          val train = Sampling.trainSplit(clean)
+            .filter(col("split") === "train").select("doc_id")
+          val selected = Sampling.mixtureBudget(clean.join(train, Seq("doc_id")))
+          import org.apache.spark.sql.functions.{count, lit, sum}
+          val chunks = Packing
+            .chunkDocuments(clean.join(selected.select("doc_id"), Seq("doc_id")))
+            .groupBy("doc_id")
+            .agg(count(lit(1)).as("doc_chunks"),
+              sum("n_chunk_tokens").as("doc_chunk_tokens"))
+          fmt(selected.join(chunks, Seq("doc_id"))
+            .groupBy("predicted")
+            .agg(count(lit(1)).as("n_docs"), sum("doc_chunks").as("n_chunks")))
+        })
     )
 
     val md = new StringBuilder

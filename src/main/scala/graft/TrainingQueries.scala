@@ -350,7 +350,12 @@ object TrainingQueries {
     // 100 TB shape of its standalone operator.
     "data_prep_e2e" -> ((s, dir) => {
       val doc = Transcripts.documents(s, dir)
+      // the decontaminated corpus feeds THREE stages (split, budget,
+      // chunking): materialize it once (the minhashJaccard shingle-table
+      // precedent) instead of re-running the decontam subtree per consumer
+      // — at 100 TB this is the persisted intermediate corpus table
       val clean = Sampling.decontaminate(doc, Sampling.evalHoldout(doc))
+        .localCheckpoint()
       val train = Sampling.trainSplit(clean)
         .filter(col("split") === "train").select("doc_id")
       val selected = Sampling.mixtureBudget(clean.join(train, Seq("doc_id")))
