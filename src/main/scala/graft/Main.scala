@@ -33,6 +33,10 @@ import org.apache.spark.sql.functions._
   * (exactly-once via per-bucket idempotent overwrite — SURVEY.md §7.5). Each
   * run appends per-bucket rows to `<output>/_lineage` and writes the
   * aggregated per-status/engine metrics table to `<output>/_metrics`.
+  *
+  * A second mode, `--query NAME[,NAME...]` (or `list` / `all`), runs any
+  * named operator query from the SURVEY §8 inventory over an sf-style
+  * parquet dir — see [[runQueries]].
   */
 object Main {
 
@@ -41,8 +45,62 @@ object Main {
       k.stripPrefix("--") -> v
     }.toMap
 
+  /** `--query` mode: run named operator queries from [[SparkEntry.queries]]
+    * over an sf-style parquet dir (`--input`) and write each result to
+    * `<output>/<name>` as parquet — every SURVEY §2/§8 operator is
+    * spark-submit-drivable without writing code:
+    *
+    * {{{
+    * spark-submit --class graft.Main <jar> \
+    *   --query dedup_minhash_lsh,text_quality \
+    *   --input /data/sf --output /out
+    * }}}
+    *
+    * `--query list` prints the available names. `--query all` runs the full
+    * suite (the Verify dump without the oracle JSON). Returns (name, rows
+    * written) per query, in the order requested.
+    */
+  def runQueries(spark: SparkSession, names: Seq[String], sfDir: String,
+                 outDir: String): Seq[(String, Long)] = {
+    val all = SparkEntry.queries
+    val unknown = names.filterNot(all.contains)
+    require(unknown.isEmpty,
+      s"unknown queries: ${unknown.mkString(", ")} — use --query list")
+    names.map { name =>
+      val df = all(name)(spark, sfDir)
+      df.write.mode("overwrite").parquet(s"$outDir/$name")
+      name -> spark.read.parquet(s"$outDir/$name").count()
+    }
+  }
+
+  private def queryMode(opts: Map[String, String], q: String): Unit =
+    if (q == "list") SparkEntry.queries.keys.toSeq.sorted.foreach(println)
+    else {
+      val input = opts.getOrElse("input", sys.error("--input required"))
+      val output = opts.getOrElse("output", sys.error("--output required"))
+      val names =
+        if (q == "all") SparkEntry.queries.keys.toSeq.sorted
+        else q.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val builder = SparkSession.builder().appName("graft-query")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+      val spark =
+        if (sys.env.contains("SPARK_GRAFT_LOCAL"))
+          builder.master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+            .config("spark.sql.shuffle.partitions",
+              sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+            .getOrCreate()
+        else builder.getOrCreate()
+      graft.operators.Dedup.registerCapLogger(spark)
+      runQueries(spark, names, input, output).foreach { case (n, rows) =>
+        println(s"[graft] $n: $rows rows -> $output/$n")
+      }
+      spark.stop()
+    }
+
   def main(args: Array[String]): Unit = {
     val opts = parseArgs(args)
+    if (opts.contains("query")) { queryMode(opts, opts("query")); return }
     val input = opts.getOrElse("input", sys.error("--input required"))
     val output = opts.getOrElse("output", sys.error("--output required"))
     val buckets = opts.getOrElse("buckets", "256").toInt

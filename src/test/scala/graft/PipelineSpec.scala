@@ -1410,6 +1410,21 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"annRecall ran ${Similarity.centroidCollects.get()} centroid collects")
   }
 
+  test("main: --query mode runs named operator queries to parquet") {
+    val out = tmpDir("graft_query_mode_")
+    val ran = Main.runQueries(spark,
+      Seq("o4_payload_sniff", "o9_engine_dispatch"), sfDir, out)
+    assert(ran.map(_._1) == Seq("o4_payload_sniff", "o9_engine_dispatch"))
+    assert(ran.forall(_._2 > 0))
+    // the written parquet is the same result the Verify dump produces
+    val reread = spark.read.parquet(s"$out/o4_payload_sniff")
+    assert(reread.count() == ran.head._2)
+    val err = intercept[IllegalArgumentException] {
+      Main.runQueries(spark, Seq("no_such_query"), sfDir, out)
+    }
+    assert(err.getMessage.contains("no_such_query"))
+  }
+
   test("multimodal: stub decode plumbing produces typed metadata batches") {
     val doc = Transcripts.documents(spark, sfDir)
     val meta = Multimodal.decodeMeta(spark, Multimodal.mediaTable(spark, doc))
