@@ -48,6 +48,9 @@ object Plans {
       ("Embedding near-dup (banded content LSH)",
         "ONE-pass banding map (native vec_dot plane dots) -> ONE shuffle (groupBy band) -> in-bucket array pairs -> codegen'd per-pair dot -> distinct; degenerate buckets capped; single scan of the input",
         fmt(Dedup.embeddingNearDup(emb))),
+      ("Semantic dedup (SemDeDup, cell-scoped)",
+        "zero-Exchange centroid-scoring map (centroids collected once) -> ONE shuffle (groupBy cell); per-vector rows AND in-cell streamed dup pairs both read the aggregated cells table (exchange reuse at runtime); drop rule keeps the boundary example",
+        fmt(Dedup.semanticDedup(emb))),
       ("O22 histograms",
         "one partial-agg groupBy; unpivot explodes over (status, engine) groups only",
         fmt(ExtractPipeline.histograms(ExtractPipeline.extract(spark, t)))),

@@ -274,6 +274,11 @@ object TrainingQueries {
         .transform(e => Dedup.embeddingNearDup(e, minCos = 0.8))
         .orderBy("a_id", "b_id")),
 
+    "dedup_semantic" -> ((s, dir) =>
+      s.read.parquet(s"$dir/embeddings.parquet")
+        .transform(e => Dedup.semanticDedup(e, minCos = 0.8))
+        .orderBy("vec_id")),
+
     "ann_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(s.read.parquet(s"$dir/embeddings.parquet"))
         .orderBy("query_id", "rank")),
@@ -930,6 +935,52 @@ object TrainingQueries {
          |FROM k a JOIN k b ON ($anyBand) AND b.vec_id > a.vec_id
          |WHERE round($dot / sqrt(a.na * b.na), 6) >= 0.8
          |ORDER BY a_id, b_id""".stripMargin
+    },
+
+    "dedup_semantic" -> {
+      // SemDeDup twin: the injected-dup base (as dedup_embedding), the
+      // deterministic first-K quantizer (as ann_ivf_cells), in-cell pairs,
+      // and the keep-the-boundary-example drop rule. na/nb precomputed per
+      // row like the Spark side so sqrt(na * nb) groups identically.
+      val k = Similarity.ivfCells
+      def dotD(a: String, b: String) =
+        s"list_sum(list_transform(range(1, 65), n -> $a[n] * $b[n]))"
+      s"""WITH base AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 10000 AS vec_id,
+         |    list_transform(range(1, 65),
+         |      i -> CASE WHEN i = 1 THEN CAST(embedding[i] AS DOUBLE) + 0.5
+         |                ELSE CAST(embedding[i] AS DOUBLE) END) AS emb
+         |  FROM embeddings),
+         |v AS (SELECT vec_id, emb, ${dotD("emb", "emb")} AS na FROM base),
+         |cent AS (
+         |  SELECT vec_id AS centroid_id, emb AS ce, na AS nb FROM v
+         |  WHERE vec_id < $k),
+         |sc AS (
+         |  SELECT e.vec_id, e.emb, e.na, c.centroid_id,
+         |    round(${dotD("e.emb", "c.ce")} / sqrt(e.na * c.nb), 6) AS ccos
+         |  FROM v e, cent c),
+         |a AS (
+         |  SELECT vec_id, emb, na, centroid_id, ccos,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rn
+         |  FROM sc),
+         |asg AS (
+         |  SELECT vec_id, emb, na, centroid_id AS cell, ccos AS centroid_cos
+         |  FROM a WHERE rn = 1),
+         |p AS (
+         |  SELECT x.vec_id AS a_id, y.vec_id AS b_id,
+         |    x.centroid_cos AS ac, y.centroid_cos AS bc,
+         |    round(${dotD("x.emb", "y.emb")} / sqrt(x.na * y.na), 6) AS cos
+         |  FROM asg x JOIN asg y ON x.cell = y.cell AND y.vec_id > x.vec_id),
+         |drp AS (
+         |  SELECT DISTINCT CASE WHEN ac > bc OR (ac = bc AND a_id > b_id)
+         |    THEN a_id ELSE b_id END AS vec_id
+         |  FROM p WHERE cos >= 0.8)
+         |SELECT g.vec_id, g.cell, g.centroid_cos,
+         |  (d.vec_id IS NOT NULL) AS dropped
+         |FROM asg g LEFT JOIN drp d ON g.vec_id = d.vec_id
+         |ORDER BY g.vec_id""".stripMargin
     },
 
     "ann_topk" ->

@@ -857,4 +857,75 @@ object Dedup {
     */
   def embeddingNearDup(emb: DataFrame, minCos: Double = 0.8): DataFrame =
     nearDupPairs(withInjectedNearDups(emb), minCos)
+
+  /** Degenerate-cell guard for [[semanticDedup]] (the [[minhashMaxBucket]]
+    * pattern): in-cell pairing is quadratic, so a collapsed cluster (e.g.
+    * a near-constant template embedding) is dropped whole — observable via
+    * [[registerCapLogger]], never silent; its members belong to the exact
+    * or LSH dedup operators. At 100 TB the real dial is the CLUSTER COUNT
+    * (SemDeDup sizes k so cells stay pair-tractable); the cap only catches
+    * the degenerate tail.
+    */
+  val semanticMaxCell = 10000
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication"):
+    * cluster the embeddings, and within each cluster drop all but one
+    * member of every cosine-duplicate pair — keeping the member FARTHEST
+    * from the cluster centroid (the paper's choice: boundary examples
+    * carry more training signal than prototypical ones). Complements
+    * [[embeddingNearDup]]: LSH banding finds pairs agreeing on some
+    * hyperplane band anywhere in the corpus; semantic dedup scopes the
+    * quadratic pairing to semantic CLUSTERS — the shape that scales by
+    * raising the cluster count. The clusterer here is [[Similarity]]'s
+    * deterministic first-K-vectors quantizer (no RNG/k-means iterations,
+    * so the DuckDB twin is exact); swapping in trained k-means centroids
+    * changes only the collected centroid table.
+    *
+    * Plan shape: assignment is the zero-Exchange narrow map (centroids
+    * collected ONCE — [[Similarity.centroidCollects]]); ONE shuffle
+    * (groupBy cell), and BOTH outputs — the per-vector rows and the
+    * in-cell dup pairs — are derived from that single aggregated `cells`
+    * table, so Catalyst's ReuseExchange runs the expensive scoring map and
+    * its shuffle once (spec-pinned: one scan / ReusedExchange). In-cell
+    * pair generation is STREAMED (the [[nearDupPairs]] chained-explode
+    * form, O(cell) transient); cells above [[semanticMaxCell]] drop whole
+    * (observable). Drop rule per dup pair: the member with the HIGHER
+    * centroid cosine loses; ties lose on the larger vec_id. Output: one
+    * row per vector `(vec_id, cell, centroid_cos, dropped)`.
+    */
+  def semanticDedup(emb: DataFrame, minCos: Double = 0.8): DataFrame = {
+    import graft.spark.VectorFunctions.vecDot
+    val base = withInjectedNearDups(emb)
+      .select(col("vec_id"), col("emb").as("embedding"))
+    val cents = Similarity.collectCentroids(base)
+    val cells = Similarity.ivfAssignScoredWith(base, cents)
+      .groupBy("cell")
+      // sorted by vec_id (unique first field) so in-cell (i, j > i) pair
+      // generation preserves the a_id < b_id contract
+      .agg(array_sort(collect_list(
+        struct(col("vec_id"), col("embedding"), col("na"), col("centroid_cos"))))
+        .as("vs"))
+    val rows = cells.select(col("cell"), explode(col("vs")).as("v"))
+      .select(col("v.vec_id").as("vec_id"), col("cell"),
+        col("v.centroid_cos").as("centroid_cos"))
+    val pairs = observeCapDrops(cells, "semdedup", size(col("vs")), semanticMaxCell)
+      .filter(size(col("vs")) > 1 && size(col("vs")) <= semanticMaxCell)
+      .select(col("vs"), posexplode(col("vs")).as(Seq("i", "a")))
+      // slice is 1-based: position i (0-based) -> partners start at i + 2
+      .select(col("a"), explode(expr("slice(vs, i + 2, size(vs))")).as("b"))
+    val dot = vecDot(col("a.embedding"), col("b.embedding"))
+    val dropped = pairs
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        col("a.centroid_cos").as("ac"), col("b.centroid_cos").as("bc"),
+        round(dot / sqrt(col("a.na") * col("b.na")), 6).as("cos"))
+      .filter(col("cos") >= minCos)
+      .select(when(col("ac") > col("bc") ||
+          (col("ac") === col("bc") && col("a_id") > col("b_id")), col("a_id"))
+        .otherwise(col("b_id")).as("vec_id"))
+      .distinct()
+    rows.join(dropped.withColumn("d", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("centroid_cos"),
+        coalesce(col("d"), lit(false)).as("dropped"))
+  }
 }

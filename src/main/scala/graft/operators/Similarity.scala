@@ -136,6 +136,23 @@ object Similarity {
           .as("cell"))
   }
 
+  /** [[ivfAssignWith]] plus the assigned cell's centroid cosine and the
+    * per-row squared norm — the inputs [[Dedup.semanticDedup]] needs (its
+    * keep-the-boundary-example rule compares centroid cosines, and the
+    * in-cell pair cosine reuses `na`). Same zero-Exchange narrow-map shape:
+    * the score array is computed once per row and both the argmax and its
+    * value (`array_max` — entries are already rounded to 6) read it.
+    */
+  def ivfAssignScoredWith(emb: DataFrame, cents: Array[(Long, Array[Double])]): DataFrame = {
+    val (withScores, ids) = cellScores(cents)
+    withScores(emb).select(
+      col("vec_id"), col("embedding"), col("na"),
+      element_at(ids,
+        array_position(col("ccos_arr"), array_max(col("ccos_arr"))).cast("int"))
+        .as("cell"),
+      array_max(col("ccos_arr")).as("centroid_cos"))
+  }
+
   /** Top-2 cells per vector (nprobe=2 probing side), same map-side argmax
     * machinery as [[ivfAssignWith]]: the runner-up cell is the argmax of the
     * score array with the winner's slot nulled out (`array_max` skips

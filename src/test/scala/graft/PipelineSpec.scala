@@ -811,6 +811,41 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs(0).getDouble(2) > 0.99)
   }
 
+  test("dedup: semantic dedup drops one member per in-cell dup pair (SemDeDup)") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // an identical-vector pair under a fresh id: same cell, equal centroid
+    // cosine, pair cosine 1 -> the tie rule MUST drop the larger vec_id
+    val clone = emb.filter(col("vec_id") === 100L)
+      .select(lit(600L).as("vec_id"), col("embedding"))
+    val out = Dedup.semanticDedup(
+      emb.select("vec_id", "embedding").unionByName(clone), minCos = 0.8).cache()
+    // one row per base + injected vector
+    assert(out.count() == (emb.count() + 1) * 2)
+    val by = out.filter(col("vec_id").isin(100L, 600L))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(by(100L).getLong(1) == by(600L).getLong(1), "identical vectors must share a cell")
+    assert(by(100L).getDouble(2) == by(600L).getDouble(2))
+    assert(by(600L).getBoolean(3), "tie rule: the larger vec_id of an identical pair is dropped")
+    assert(out.filter(col("dropped")).count() > 0)
+    out.unpersist()
+  }
+
+  test("dedup: semantic dedup plan shares one scan/shuffle; one centroid collect") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    graft.operators.Similarity.centroidCollects.set(0L)
+    val out = Dedup.semanticDedup(emb)
+    assert(graft.operators.Similarity.centroidCollects.get() == 1L,
+      "semanticDedup must collect centroids exactly once")
+    // rows and pairs both read the aggregated cells table: the scoring map
+    // + its shuffle must run once. Under AQE exchange reuse materializes at
+    // runtime, so execute first and read the FINAL plan.
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"no exchange reuse in final plan:\n$plan")
+  }
+
   test("sampling: stratified sample is deterministic, nested across rates, narrow") {
     import graft.operators.Sampling
     val doc = Transcripts.documents(spark, sfDir)
