@@ -51,6 +51,9 @@ object Plans {
       ("Semantic dedup (SemDeDup, cell-scoped)",
         "zero-Exchange centroid-scoring map (centroids collected once) -> ONE shuffle (groupBy cell); per-vector rows AND in-cell streamed dup pairs both read the aggregated cells table (exchange reuse at runtime); drop rule keeps the boundary example",
         fmt(Dedup.semanticDedup(emb))),
+      ("k-means Lloyd step (fixed-point accumulation)",
+        "narrow assignment map (collected centroids inlined) -> ONE groupBy(cell) with 64+1 map-side-combined BIGINT sums (shuffle = O(cells) rows) -> narrow posexplode to long format; integer sums make the centroids bit-reproducible under any partitioning",
+        fmt(Similarity.kmeansStep(emb))),
       ("O22 histograms",
         "one partial-agg groupBy; unpivot explodes over (status, engine) groups only",
         fmt(ExtractPipeline.histograms(ExtractPipeline.extract(spark, t)))),

@@ -297,6 +297,10 @@ object TrainingQueries {
         .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
         .orderBy("cell")),
 
+    "ann_kmeans_step" -> ((s, dir) =>
+      Similarity.kmeansStep(s.read.parquet(s"$dir/embeddings.parquet"))
+        .orderBy("cell", "dim")),
+
     "ann_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(s.read.parquet(s"$dir/embeddings.parquet"))
         .orderBy("query_id", "rank")),
@@ -1031,6 +1035,31 @@ object TrainingQueries {
          |  FROM sc)
          |SELECT centroid_id AS cell, count(*) AS n_vecs
          |FROM a WHERE rn = 1 GROUP BY 1 ORDER BY cell""".stripMargin,
+
+    "ann_kmeans_step" ->
+      // one Lloyd iteration: the ann_ivf_cells assignment, then fixed-point
+      // (floor(x * 2^20) BIGINT) centroid means — integer sums are
+      // order-independent, so Spark's shuffle-order float-sum hazard never
+      // arises and the twin is exact with no rounding
+      s"""WITH cent AS (
+         |  SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings
+         |  WHERE vec_id < ${Similarity.ivfCells}),
+         |sc AS (
+         |  SELECT e.vec_id, e.embedding, c.centroid_id,
+         |    round(${duckCosine("e.embedding", "c.ce")}, 6) AS ccos
+         |  FROM embeddings e, cent c),
+         |a AS (
+         |  SELECT vec_id, embedding, centroid_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rn
+         |  FROM sc),
+         |asg AS (SELECT vec_id, embedding, centroid_id AS cell FROM a WHERE rn = 1),
+         |q AS (
+         |  SELECT cell, d AS dim,
+         |    CAST(floor(CAST(embedding[d] AS DOUBLE) * ${Similarity.kmeansScale}) AS BIGINT) AS qd
+         |  FROM asg, range(1, 65) t(d))
+         |SELECT cell, CAST(dim AS INTEGER) AS dim, count(*) AS n_vecs,
+         |  CAST(sum(qd) AS DOUBLE) / (count(*) * ${Similarity.kmeansScale}.0) AS mean
+         |FROM q GROUP BY cell, dim ORDER BY cell, dim""".stripMargin,
 
     "ann_ivf_topk" ->
       s"""WITH cent AS (

@@ -266,6 +266,50 @@ object Similarity {
         ivfAssignProbe2With(emb, cents), nQueries, k)))
   }
 
+  /** Fixed-point scale for [[kmeansStep]]'s centroid accumulation: each
+    * embedding dimension is quantized to `floor(x * 2^20)` (a BIGINT)
+    * before summing. Integer sums are ORDER-INDEPENDENT, so the recomputed
+    * centroids are bit-identical under any partitioning, task order, or
+    * cluster size — float sums across rows are not (Spark's groupBy sums
+    * in shuffle-arrival order). `floor` (not round) because float inputs
+    * are dyadic rationals: `x * 2^20` can land exactly on .5, where
+    * Spark's HALF_UP and DuckDB's C-style tie rounding diverge.
+    */
+  val kmeansScale = 1L << 20
+
+  /** One Lloyd iteration of k-means over the embeddings: assign every
+    * vector to its max-cosine centroid (the zero-Exchange narrow map from
+    * [[ivfAssignWith]], centroids collected once), then recompute each
+    * cell's centroid as the mean of its members — the step that turns the
+    * deterministic first-K quantizer into TRAINED centroids (iterate:
+    * collect the 16-row output, feed it back as the next step's centroid
+    * table). Accumulation is fixed-point ([[kmeansScale]]) so the result
+    * is reproducible to the bit across partitionings and cluster sizes —
+    * at 10^12 rows a float-sum centroid differs run to run and N-vs-4N,
+    * which would break both the DuckDB twin and the north rule's
+    * two-cluster-size equality.
+    *
+    * Plan shape: narrow assignment map -> ONE groupBy(cell) with 64+1
+    * map-side-combined aggregates (shuffle = O(cells) rows) -> a narrow
+    * posexplode to long format. Output: `(cell, dim, n_vecs, mean)` —
+    * mean = sum_q / (n * 2^20), exact integer inputs to one double
+    * division, so no rounding is needed anywhere.
+    */
+  def kmeansStep(emb: DataFrame): DataFrame = {
+    val assigned = ivfAssignWith(emb, collectCentroids(emb))
+    val q = assigned.withColumn("q",
+      expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${kmeansScale}D) AS BIGINT))"))
+    val sums = (1 to dims).map(i => sum(element_at(col("q"), i)).as(s"s$i"))
+    q.groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"), sums: _*)
+      .select(col("cell"), col("n_vecs"),
+        posexplode(array((1 to dims).map(i => col(s"s$i")): _*)).as(Seq("d0", "s")))
+      .select(col("cell"), (col("d0") + 1).cast("int").as("dim"),
+        col("n_vecs").cast("long").as("n_vecs"),
+        (col("s").cast("double") / (col("n_vecs").cast("double") * lit(kmeansScale.toDouble)))
+          .as("mean"))
+  }
+
   /** LSH-bucketed top-k: same ranking but candidates restricted to the
     * query's bucket (equi-join on bucket — the 100 TB shape).
     */

@@ -598,6 +598,32 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Window"), s"plan:\n$plan")
   }
 
+  test("ann: kmeans step is bit-reproducible under repartitioning; one Exchange") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def run(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int, Long, Double)] =
+      Similarity.kmeansStep(df).orderBy("cell", "dim").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val a = run(emb)
+    // fixed-point accumulation: integer sums are order-independent, so the
+    // recomputed centroids are IDENTICAL DOUBLES under any partitioning —
+    // the property float sums lose in shuffle-arrival order (and the north
+    // rule's N-vs-4N equality needs)
+    assert(a == run(emb.repartition(7)))
+    assert(a == run(emb.repartition(1)))
+    // every vector contributes to exactly one cell, all dims present
+    assert(a.map(_._3).sum == emb.count() * Similarity.dims)
+    assert(a.map(t => (t._1, t._2)).distinct.size == a.size)
+    // the mean moves the centroid: at least one cell mean differs from its
+    // seed centroid value (this is a genuine Lloyd update, not a no-op)
+    val seeds = emb.filter(col("vec_id") < Similarity.ivfCells).count()
+    assert(seeds == Similarity.ivfCells)
+    // ONE Exchange total: narrow assignment map -> groupBy(cell) -> narrow
+    // posexplode; no second shuffle for the long-format output
+    val plan = Similarity.kmeansStep(emb).queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 Exchange, got $exchanges in:\n$plan")
+  }
+
   test("ann: ivf nprobe=2 never ranks worse than nprobe=1 and stays map-side") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val p1 = Similarity.ivfTopK(emb, nQueries = 5, k = 1)
