@@ -54,6 +54,10 @@ object Plans {
       ("k-means Lloyd step (fixed-point accumulation)",
         "narrow assignment map (collected centroids inlined) -> ONE groupBy(cell) with 64+1 map-side-combined BIGINT sums (shuffle = O(cells) rows) -> narrow posexplode to long format; integer sums make the centroids bit-reproducible under any partitioning",
         fmt(Similarity.kmeansStep(emb))),
+      ("Blocklist filter + hashed-feature classifier",
+        "both pure no-Exchange narrow maps: blocklists/weight table ship as plan literals, so term counting, source blocking, and the hash-lookup-sum-threshold score compose at scan speed with every other per-doc filter",
+        fmt(TextAnalysis.blocklist(doc)) + "\n" +
+          fmt(TextAnalysis.classifierScore(doc))),
       ("O22 histograms",
         "one partial-agg groupBy; unpivot explodes over (status, engine) groups only",
         fmt(ExtractPipeline.histograms(ExtractPipeline.extract(spark, t)))),

@@ -171,6 +171,15 @@ object TrainingQueries {
     "text_lm_score" -> ((s, dir) =>
       TextAnalysis.lmScore(Transcripts.documents(s, dir)).orderBy("doc_id")),
 
+    // C4-style term + source blocklist filtering (pure narrow map)
+    "text_blocklist" -> ((s, dir) =>
+      TextAnalysis.blocklist(Transcripts.documents(s, dir)).orderBy("doc_id")),
+
+    // hashed-feature linear quality classifier (pure narrow map)
+    "text_classifier" -> ((s, dir) =>
+      TextAnalysis.classifierScore(Transcripts.documents(s, dir))
+        .orderBy("doc_id")),
+
     // fixed-length chunking with overlap (narrow posexplode, no shuffle)
     "text_chunks" -> ((s, dir) =>
       Packing.chunkDocuments(Transcripts.documents(s, dir))
@@ -585,6 +594,36 @@ object TrainingQueries {
          |  CAST(prev_cum // ${Packing.packBudget} AS BIGINT) AS pack_id,
          |  CAST(prev_cum % ${Packing.packBudget} AS BIGINT) AS pack_offset
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    "text_blocklist" -> {
+      val terms = TextAnalysis.blockedTerms.map(t => s"'$t'").mkString(", ")
+      val srcs = TextAnalysis.blockedSources.map(s0 => s"'$s0'").mkString(", ")
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      t -> t IN ($terms))) AS INTEGER) AS n_blocked_terms
+         |  FROM documents)
+         |SELECT doc_id, source, n_blocked_terms,
+         |  (source NOT IN ($srcs) AND n_blocked_terms = 0) AS keep
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
+
+    "text_classifier" -> {
+      // the constant splitmix-mixed weight table, inlined like the Spark
+      // plan; token hash = first 4 md5 hex chars (the simhash convention)
+      val w = (0 until TextAnalysis.classifierBuckets)
+        .map(TextAnalysis.classifierWeight).mkString("[", ", ", "]")
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         |    CAST(list_sum(list_transform(string_split(text, ' '),
+         |      t -> ($w)[(CAST('0x' || substr(md5(t), 1, 4) AS INTEGER)
+         |                 % ${TextAnalysis.classifierBuckets}) + 1]))
+         |      AS INTEGER) AS score
+         |  FROM documents)
+         |SELECT doc_id, n_tokens, score, (score >= 0) AS keep
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
 
     "text_repetition" ->
       s"""WITH t AS (

@@ -262,4 +262,71 @@ object TextAnalysis {
           .as("mean_tokens"),
         sum(when(col("n_tokens") < shortDocTokens, 1L).otherwise(0L)).as("n_short"))
   }
+
+  /** Blocklist filtering in the C4 tradition (Raffel et al. 2020 drop any
+    * page containing a "bad words" list hit; RefinedWeb/CCNet block at the
+    * source/domain level): a document is kept iff its source is not
+    * blocked AND no token matches the term blocklist. Both lists ship as
+    * PLAN LITERALS, so the whole pass is a pure narrow map (zero Exchange,
+    * scan-speed, composable with every other per-doc filter) — term lists
+    * are small (C4's is ~400 entries); a multi-million-entry URL/domain
+    * blocklist would become a broadcast join on a normalized domain
+    * column instead. Occurrences are COUNTED (not just flagged) so the
+    * downstream datasheet can report how much each blocklist removes.
+    */
+  val blockedTerms = Seq("slow", "crash", "deadlock")
+  val blockedSources = Seq("src7", "src13")
+
+  def blocklist(doc: DataFrame): DataFrame = {
+    val inList = blockedTerms.map(t => s"'$t'").mkString(", ")
+    val nBlocked = size(expr(s"filter(split(text, ' '), t -> t IN ($inList))"))
+    doc.select(col("doc_id"), col("source"),
+      nBlocked.cast("int").as("n_blocked_terms"))
+      .select(col("doc_id"), col("source"), col("n_blocked_terms"),
+        (!col("source").isInCollection(blockedSources) &&
+          col("n_blocked_terms") === 0).as("keep"))
+  }
+
+  /** Hash-bucket count for [[classifierScore]]'s feature table. */
+  val classifierBuckets = 64
+
+  /** Constant weight of feature bucket `i` — splitmix64-mixed into
+    * [-8, 7], inlined as a literal table into both the Spark plan and the
+    * DuckDB twin (the generator needs no SQL form, only its output does —
+    * the [[Dedup.nearDupSign]] convention).
+    */
+  def classifierWeight(i: Int): Int = {
+    var z = i.toLong * 0x9E3779B97F4A7C15L + 0x94D049BB133111EBL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^= z >>> 31
+    ((z & 15L) - 8L).toInt
+  }
+
+  /** Hashed-feature linear quality classifier — the fastText/CCNet-style
+    * learned quality filter (GPT-3's "similarity to high-quality corpora"
+    * logistic regression tradition) in integer-exact miniature: score(doc)
+    * = sum over tokens of `w[md5_16(token) mod B]` with a fixed
+    * [[classifierWeight]] table; keep = score >= 0. A trained model drops
+    * in by replacing the weight table — the EXECUTION shape (hash token,
+    * look up weight, sum, threshold: a pure narrow map over the corpus) is
+    * what this operator pins. Integer weights keep the DuckDB twin exact;
+    * the float dot-product form would hold the oracle hash hostage to
+    * summation order. Token hash = first 4 hex chars of md5 (the simhash
+    * convention).
+    */
+  def classifierScore(doc: DataFrame): DataFrame = {
+    val w = (0 until classifierBuckets).map(classifierWeight)
+    val wArr = w.mkString("array(", ", ", ")")
+    val score = expr(
+      s"""aggregate(split(text, ' '), 0, (acc, t) ->
+         |  acc + element_at($wArr,
+         |    CAST(pmod(CAST(conv(substring(md5(t), 1, 4), 16, 10) AS INT),
+         |              $classifierBuckets) AS INT) + 1))""".stripMargin)
+    doc.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("int").as("n_tokens"),
+      score.cast("int").as("score"))
+      .select(col("doc_id"), col("n_tokens"), col("score"),
+        (col("score") >= 0).as("keep"))
+  }
 }

@@ -912,6 +912,50 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange"), s"plan:\n$plan")
   }
 
+  test("blocklist: term occurrences counted, source blocking, narrow plan") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val df = Seq(
+      (1L, "fast scan slow merge slow", "src0"), // 2 term hits
+      (2L, "fast scan merge", "src7"),           // blocked source only
+      (3L, "fast scan merge", "src0"),           // clean -> kept
+      (4L, "slow", "src13")                      // both
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.blocklist(df).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getBoolean(3))).toSeq
+    assert(got == Seq((1L, 2, false), (2L, 0, false), (3L, 0, true), (4L, 1, false)))
+    val plan = TextAnalysis.blocklist(Transcripts.documents(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"plan:\n$plan")
+  }
+
+  test("classifier: hashed-feature score matches the JVM weight table, narrow plan") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    // single-token docs: score must equal the Scala-side table lookup for
+    // the same md5-prefix hash — pins SQL conv/pmod == JVM mirror
+    def jvmScore(tok: String): Int = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      TextAnalysis.classifierWeight(
+        Integer.parseInt(md5.substring(0, 4), 16) % TextAnalysis.classifierBuckets)
+    }
+    val toks = Seq("join", "hash", "slow", "vector", "emoji")
+    val df = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = TextAnalysis.classifierScore(df).orderBy("doc_id").collect()
+    toks.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i).getInt(2) == jvmScore(t), s"token $t")
+      assert(got(i).getBoolean(3) == (jvmScore(t) >= 0))
+    }
+    // additivity: a two-token doc scores the sum of its tokens
+    val two = TextAnalysis.classifierScore(Seq((9L, "join hash")).toDF("doc_id", "text"))
+      .collect()(0)
+    assert(two.getInt(2) == jvmScore("join") + jvmScore("hash"))
+    val plan = TextAnalysis.classifierScore(Transcripts.documents(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"plan:\n$plan")
+  }
+
   test("pii: scrubber redacts every injected email/phone, narrow plan") {
     import graft.operators.TextAnalysis
     val doc = Transcripts.documents(spark, sfDir)
