@@ -190,6 +190,12 @@ object TrainingQueries {
       TextAnalysis.corpusStats(Transcripts.documents(s, dir))
         .orderBy("source", "predicted")),
 
+    // filter-funnel datasheet: first-rejecting-stage attribution across
+    // the narrow quality rules (one scan + one O(stages) agg)
+    "quality_funnel" -> ((s, dir) =>
+      TextAnalysis.qualityFunnel(Transcripts.documents(s, dir))
+        .orderBy("stage_idx")),
+
     // deterministic hash train/val/test split (narrow map, no shuffle)
     "sample_train_split" -> ((s, dir) =>
       Sampling.trainSplit(Transcripts.documents(s, dir)).orderBy("doc_id")),
@@ -623,6 +629,44 @@ object TrainingQueries {
          |  FROM documents)
          |SELECT doc_id, n_tokens, score, (score >= 0) AS keep
          |FROM t ORDER BY doc_id""".stripMargin
+    },
+
+    "quality_funnel" -> {
+      val terms = TextAnalysis.blockedTerms.map(t => s"'$t'").mkString(", ")
+      val srcs = TextAnalysis.blockedSources.map(s0 => s"'$s0'").mkString(", ")
+      val w = (0 until TextAnalysis.classifierBuckets)
+        .map(TextAnalysis.classifierWeight).mkString("[", ", ", "]")
+      val stages = TextAnalysis.funnelStages
+        .map { case (i, n) => s"($i, '$n')" }.mkString(", ")
+      s"""WITH sig AS (
+         |  SELECT doc_id,
+         |    (source NOT IN ($srcs) AND len(list_filter(string_split(text, ' '),
+         |       t -> t IN ($terms))) = 0) AS block_ok,
+         |    len(string_split(text, ' ')) >= ${TextAnalysis.shortDocTokens} AS len_ok,
+         |    (CASE WHEN greatest(len(string_split(text, ' ')) - 2, 0) = 0 THEN 0.0
+         |          ELSE round(1.0 - len($duckShingles) * 1.0 /
+         |                 (len(string_split(text, ' ')) - 2), 4)
+         |     END) <= ${TextAnalysis.funnelRepetitionMax} AS rep_ok,
+         |    list_sum(list_transform(string_split(text, ' '),
+         |      t -> ($w)[(CAST('0x' || substr(md5(t), 1, 4) AS INTEGER)
+         |                 % ${TextAnalysis.classifierBuckets}) + 1])) >= 0 AS cls_ok
+         |  FROM documents),
+         |death AS (
+         |  SELECT CASE WHEN NOT block_ok THEN 1 WHEN NOT len_ok THEN 2
+         |              WHEN NOT rep_ok THEN 3 WHEN NOT cls_ok THEN 4
+         |              ELSE 5 END AS stage_idx
+         |  FROM sig),
+         |counts AS (SELECT stage_idx, count(*) AS n FROM death GROUP BY 1),
+         |stages(stage_idx, stage) AS (VALUES $stages),
+         |j AS (
+         |  SELECT s.stage_idx, s.stage, COALESCE(c.n, 0) AS n_docs
+         |  FROM stages s LEFT JOIN counts c USING (stage_idx))
+         |SELECT CAST(stage_idx AS INTEGER) AS stage_idx, stage,
+         |  CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(sum(n_docs) OVER ()
+         |    - sum(CASE WHEN stage_idx <= 4 THEN n_docs ELSE 0 END)
+         |        OVER (ORDER BY stage_idx) AS BIGINT) AS n_remaining
+         |FROM j ORDER BY stage_idx""".stripMargin
     },
 
     "text_repetition" ->

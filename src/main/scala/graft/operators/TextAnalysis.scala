@@ -315,18 +315,84 @@ object TextAnalysis {
     * summation order. Token hash = first 4 hex chars of md5 (the simhash
     * convention).
     */
-  def classifierScore(doc: DataFrame): DataFrame = {
-    val w = (0 until classifierBuckets).map(classifierWeight)
-    val wArr = w.mkString("array(", ", ", ")")
-    val score = expr(
+  /** The classifier's score expression over the `text` column — shared by
+    * [[classifierScore]] and [[qualityFunnel]].
+    */
+  private def classifierScoreExpr: Column = {
+    val wArr = (0 until classifierBuckets).map(classifierWeight)
+      .mkString("array(", ", ", ")")
+    expr(
       s"""aggregate(split(text, ' '), 0, (acc, t) ->
          |  acc + element_at($wArr,
          |    CAST(pmod(CAST(conv(substring(md5(t), 1, 4), 16, 10) AS INT),
          |              $classifierBuckets) AS INT) + 1))""".stripMargin)
+  }
+
+  def classifierScore(doc: DataFrame): DataFrame = {
+    val score = classifierScoreExpr
     doc.select(col("doc_id"),
       size(split(col("text"), " ")).cast("int").as("n_tokens"),
       score.cast("int").as("score"))
       .select(col("doc_id"), col("n_tokens"), col("score"),
         (col("score") >= 0).as("keep"))
+  }
+
+  /** Repetition-ratio ceiling for [[qualityFunnel]] (the Gopher-rule
+    * "duplicated n-gram fraction" threshold).
+    */
+  val funnelRepetitionMax = 0.2
+
+  /** Stage table for [[qualityFunnel]] — drop attribution order. */
+  val funnelStages = Seq(
+    (1, "blocklist"), (2, "length"), (3, "repetition"),
+    (4, "classifier"), (5, "kept"))
+
+  /** The filter FUNNEL datasheet: apply the narrow quality rules in a fixed
+    * order and attribute each dropped document to the FIRST stage that
+    * rejects it — the "what did each rule cost us" report every corpus
+    * release publishes alongside [[corpusStats]]. Stages: blocklist
+    * (term + source), minimum length ([[shortDocTokens]]), repetition
+    * (duplicated-3-gram ratio <= [[funnelRepetitionMax]]), classifier
+    * (score >= 0).
+    *
+    * All four signals are pure narrow maps, so the funnel is ONE corpus
+    * scan + one O(stages) aggregation; the running `n_remaining` column is
+    * a window over the 5-row stage table, never the corpus. Output: one
+    * row per stage `(stage_idx, stage, n_docs, n_remaining)` — `n_docs` is
+    * the count dying at that stage (for `kept`, the survivors), and every
+    * stage appears even at zero drops (left join against the literal
+    * stage table).
+    */
+  def qualityFunnel(doc: DataFrame): DataFrame = {
+    val spark = doc.sparkSession
+    import spark.implicits._
+    val inList = blockedTerms.map(t => s"'$t'").mkString(", ")
+    val blockOk =
+      !col("source").isInCollection(blockedSources) &&
+        size(expr(s"filter(split(text, ' '), t -> t IN ($inList))")) === 0
+    val nTok = size(tokens(col("text")))
+    val lengthOk = nTok >= shortDocTokens
+    val nGrams = greatest(nTok - lit(2), lit(0))
+    val distinctN = when(nGrams === 0, 0)
+      .otherwise(size(Dedup.shingles(col("text"))))
+    val ratio = when(nGrams === 0, 0.0)
+      .otherwise(round(lit(1.0) - distinctN.cast("double") / nGrams.cast("double"), 4))
+    val death =
+      when(!blockOk, 1).when(!lengthOk, 2)
+        .when(!(ratio <= funnelRepetitionMax), 3)
+        .when(!(classifierScoreExpr >= 0), 4)
+        .otherwise(5)
+    val counts = doc.select(death.as("stage_idx"))
+      .groupBy("stage_idx").agg(count(lit(1)).as("n"))
+    val cum = org.apache.spark.sql.expressions.Window.orderBy("stage_idx")
+    funnelStages.toDF("stage_idx", "stage")
+      .join(counts, Seq("stage_idx"), "left")
+      .select(col("stage_idx"), col("stage"),
+        coalesce(col("n"), lit(0L)).as("n_docs"))
+      .select(col("stage_idx"), col("stage"), col("n_docs"),
+        (sum(col("n_docs")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()) -
+          sum(when(col("stage_idx") <= 4, col("n_docs")).otherwise(0L)).over(cum))
+          .cast("long").as("n_remaining"))
   }
 }

@@ -956,6 +956,37 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange"), s"plan:\n$plan")
   }
 
+  test("funnel: first-stage attribution, conservation, matches standalone filters") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val doc = Transcripts.documents(spark, sfDir)
+    val f = TextAnalysis.qualityFunnel(doc).orderBy("stage_idx").collect()
+    assert(f.map(_.getString(1)).toSeq ==
+      Seq("blocklist", "length", "repetition", "classifier", "kept"))
+    // conservation: every doc lands in exactly one stage
+    assert(f.map(_.getLong(2)).sum == doc.count())
+    // remaining is monotone; the kept row is its own remainder
+    val rem = f.map(_.getLong(3))
+    assert(rem.zip(rem.tail).forall { case (a, b) => a >= b })
+    assert(f(4).getLong(2) == f(4).getLong(3) && f(3).getLong(3) == f(4).getLong(2))
+    // survivors == docs passing ALL standalone filters (funnel introduces
+    // no rule of its own, only attribution)
+    val b = TextAnalysis.blocklist(doc).filter(col("keep")).select("doc_id")
+    val l = doc.select("doc_id")
+      .where(size(split(col("text"), " ")) >= TextAnalysis.shortDocTokens)
+    val r = TextAnalysis.repetition(doc)
+      .filter(col("dup_gram_ratio") <= TextAnalysis.funnelRepetitionMax)
+      .select("doc_id")
+    val c = TextAnalysis.classifierScore(doc).filter(col("keep")).select("doc_id")
+    assert(f(4).getLong(2) == b.intersect(l).intersect(r).intersect(c).count())
+    // attribution order: a doc failing blocklist AND length dies at
+    // blocklist; a clean short doc dies at length
+    val tiny = Seq((1L, "slow", "src0"), (2L, "ok ok", "src0"))
+      .toDF("doc_id", "text", "source")
+    val tf = TextAnalysis.qualityFunnel(tiny).orderBy("stage_idx").collect()
+    assert(tf(0).getLong(2) == 1L && tf(1).getLong(2) == 1L)
+  }
+
   test("pii: scrubber redacts every injected email/phone, narrow plan") {
     import graft.operators.TextAnalysis
     val doc = Transcripts.documents(spark, sfDir)
