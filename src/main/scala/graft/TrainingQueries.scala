@@ -222,6 +222,11 @@ object TrainingQueries {
     "dedup_clusters" -> ((s, dir) =>
       Dedup.dupClusters(Transcripts.documents(s, dir)).orderBy("doc_id")),
 
+    // priority-aware cluster retention: keep the highest-priority member
+    // per cluster (tie -> lowest doc_id) instead of blindly the min id
+    "dedup_cluster_keep" -> ((s, dir) =>
+      Dedup.clusterKeep(Transcripts.documents(s, dir)).orderBy("doc_id")),
+
     // deterministic mixture-weighting sample: per-language Bernoulli keep
     // rates decided by a salted hash of doc_id (narrow filter, no shuffle)
     "sample_stratified" -> ((s, dir) =>
@@ -505,6 +510,27 @@ object TrainingQueries {
          |$duckClusterCtes
          |SELECT CAST(id AS BIGINT) AS doc_id, CAST(cluster_id AS BIGINT) AS cluster_id
          |FROM clusters ORDER BY doc_id""".stripMargin,
+
+    "dedup_cluster_keep" ->
+      // the cluster fixpoint + per-doc source priority (injected +1000000
+      // copies inherit their original's source via mod) + a per-cluster
+      // row_number on (priority DESC, doc_id ASC)
+      s"""WITH RECURSIVE $duckVerifiedPairCtes,
+         |$duckClusterCtes,
+         |prio AS (
+         |  SELECT doc_id, CAST(substr(source, 4) AS INTEGER) % 3 AS priority
+         |  FROM documents),
+         |m AS (
+         |  SELECT c.id AS doc_id, c.cluster_id, p.priority
+         |  FROM clusters c JOIN prio p ON p.doc_id = c.id % 1000000),
+         |r AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY cluster_id ORDER BY priority DESC, doc_id) AS rn
+         |  FROM m)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |  CAST(cluster_id AS BIGINT) AS cluster_id,
+         |  CAST(priority AS INTEGER) AS priority, (rn = 1) AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     "sample_stratified" -> {
       val rateCase = Sampling.defaultRates.toSeq.sortBy(_._1)

@@ -523,6 +523,42 @@ object Dedup {
   def dupClusters(doc: DataFrame, minJaccard: Double = 0.5): DataFrame =
     clustersFromPairs(minhashJaccard(doc, minJaccard).select(col("a_id"), col("b_id")))
 
+  /** Source priority for [[clusterKeep]]: a deterministic stand-in rank
+    * derived from the source name (real deployments supply a curated >
+    * books > web preference table; swapping it in changes only this
+    * expression / a broadcast-joined table).
+    */
+  def sourcePriority: Column =
+    pmod(expr("CAST(substring(source, 4, 10) AS INT)"), lit(3))
+
+  /** Priority-aware dup-cluster retention: keep the HIGHEST-PRIORITY
+    * member of each cluster (tie -> lowest doc_id) instead of blindly the
+    * min id — the curation rule when sources have a preference order
+    * (curated > reference > crawl: losing the curated copy of a dup pair
+    * to an id accident throws away provenance and licensing). Docs in no
+    * cluster are implicitly kept (they never appear in the pair graph).
+    *
+    * Plan shape: [[dupClusters]] (the iterative propagation) + one join to
+    * the per-doc priority (injected +1000000 copies inherit their
+    * original's source via mod) + a `row_number` window PARTITIONED BY
+    * cluster_id — the window shuffle is keyed by cluster, and clusters are
+    * quasi-cliques of near-dups (small by construction), so no partition
+    * exceeds the cluster-size bound the pairing caps already enforce.
+    */
+  def clusterKeep(doc: DataFrame): DataFrame = {
+    val clusters = dupClusters(doc)
+    val prio = doc.select(col("doc_id").as("orig_id"),
+      sourcePriority.cast("int").as("priority"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("priority").desc, col("doc_id").asc)
+    clusters
+      .withColumn("orig_id", pmod(col("doc_id"), lit(1000000L)))
+      .join(prio, Seq("orig_id"))
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("cluster_id"), col("priority"),
+        (col("rn") === 1).as("keep"))
+  }
+
   /** Connected components by iterative min-label propagation: each round,
     * every node takes the min of its own label and its neighbors' labels;
     * fixpoint = every node labeled with its component's min id. Scale

@@ -872,6 +872,28 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no exchange reuse in final plan:\n$plan")
   }
 
+  test("dedup: cluster retention keeps the highest-priority member (tie -> min id)") {
+    import spark.implicits._
+    // identical texts from sources with priorities 1 (src1) and 2 (src2):
+    // the HIGHER-priority doc must survive despite its larger id (the
+    // min-id rule would keep 10 and throw away the curated copy)
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    val doc = Seq((10L, text, "src1"), (20L, text, "src2"),
+      (30L, "totally different words here nothing shared at all", "src4"))
+      .toDF("doc_id", "text", "source")
+    val rows = Dedup.clusterKeep(doc).collect()
+    val out = rows.map(r => r.getLong(0) -> r).toMap
+    assert(out.contains(10L) && out.contains(20L))
+    assert(!out.contains(30L), "unclustered docs are implicitly kept (absent)")
+    assert(!out(10L).getBoolean(3) && out(20L).getBoolean(3))
+    // the injected copy of 20 (id 1000020, same source) loses the
+    // priority tie to the smaller original id
+    assert(out.get(1000020L).forall(!_.getBoolean(3)))
+    // exactly one survivor per cluster
+    val perCluster = rows.groupBy(_.getLong(1)).values
+    assert(perCluster.forall(_.count(_.getBoolean(3)) == 1))
+  }
+
   test("sampling: stratified sample is deterministic, nested across rates, narrow") {
     import graft.operators.Sampling
     val doc = Transcripts.documents(spark, sfDir)
