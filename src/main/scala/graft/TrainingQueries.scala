@@ -175,6 +175,12 @@ object TrainingQueries {
     "text_blocklist" -> ((s, dir) =>
       TextAnalysis.blocklist(Transcripts.documents(s, dir)).orderBy("doc_id")),
 
+    // BPE first-merge pair counts (map-side explode collapsed by partial
+    // agg into an alphabet^2 key space before the shuffle)
+    "text_bpe_pairs" -> ((s, dir) =>
+      TextAnalysis.bpePairStats(Transcripts.documents(s, dir))
+        .orderBy("rank")),
+
     // hashed-feature linear quality classifier (pure narrow map)
     "text_classifier" -> ((s, dir) =>
       TextAnalysis.classifierScore(Transcripts.documents(s, dir))
@@ -639,6 +645,20 @@ object TrainingQueries {
          |  (source NOT IN ($srcs) AND n_blocked_terms = 0) AS keep
          |FROM t ORDER BY doc_id""".stripMargin
     },
+
+    "text_bpe_pairs" ->
+      s"""WITH w AS (
+         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         |p AS (
+         |  SELECT unnest(list_transform(range(1, len(w)),
+         |    i -> substr(w, i, 2))) AS pair
+         |  FROM w WHERE len(w) >= 2),
+         |c AS (SELECT pair, count(*) AS n FROM p GROUP BY 1),
+         |r AS (
+         |  SELECT *, row_number() OVER (ORDER BY n DESC, pair) AS rank
+         |  FROM c)
+         |SELECT CAST(rank AS INTEGER) AS rank, pair, CAST(n AS BIGINT) AS n
+         |FROM r WHERE rank <= ${TextAnalysis.bpeTopK} ORDER BY rank""".stripMargin,
 
     "text_classifier" -> {
       // the constant splitmix-mixed weight table, inlined like the Spark

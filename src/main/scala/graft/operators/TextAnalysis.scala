@@ -337,6 +337,38 @@ object TextAnalysis {
         (col("score") >= 0).as("keep"))
   }
 
+  /** Top-K size for [[bpePairStats]]. */
+  val bpeTopK = 20
+
+  /** Adjacent-character-pair statistics — the counts the FIRST merge of
+    * byte-pair-encoding tokenizer training is chosen from (Sennrich et al.
+    * 2016): explode each whitespace token into its adjacent character
+    * pairs, count corpus-wide, rank (count desc, pair asc — a total order
+    * both engines agree on). Training a real BPE vocabulary is this
+    * operation iterated with merge-application between rounds; the
+    * per-round Spark job IS this one.
+    *
+    * Scale shape: the explode is map-side and the key space is tiny
+    * (alphabet², a few thousand keys), so partial aggregation collapses
+    * the O(chars) exploded rows BEFORE the shuffle — the shuffle carries
+    * ~|alphabet|² rows per task regardless of corpus size. The final
+    * rank runs on the collapsed count table.
+    */
+  def bpePairStats(doc: DataFrame, topK: Int = bpeTopK): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("pair").asc)
+    doc.select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("rank").cast("int").as("rank"), col("pair"),
+        col("n").cast("long").as("n"))
+  }
+
   /** Repetition-ratio ceiling for [[qualityFunnel]] (the Gopher-rule
     * "duplicated n-gram fraction" threshold).
     */

@@ -978,6 +978,21 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange"), s"plan:\n$plan")
   }
 
+  test("bpe: adjacent-pair counts, rank order, single-char tokens excluded") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    // "ab ab abc x": pairs ab, ab, (ab, bc), and 'x' contributes none
+    val df = Seq((1L, "ab ab abc x")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpePairStats(df).orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1, "ab", 3L), (2, "bc", 1L)))
+    // corpus run: ranks are 1..K, counts non-increasing, ties broken asc
+    val c = TextAnalysis.bpePairStats(Transcripts.documents(spark, sfDir)).collect()
+    assert(c.map(_.getInt(0)).toSeq == (1 to TextAnalysis.bpeTopK))
+    val ns = c.map(_.getLong(2))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+  }
+
   test("funnel: first-stage attribution, conservation, matches standalone filters") {
     import graft.operators.TextAnalysis
     import spark.implicits._
