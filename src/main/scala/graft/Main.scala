@@ -73,6 +73,26 @@ object Main {
     }
   }
 
+  /** One session builder for BOTH modes — a config needed for oracle
+    * parity or skew handling must never be applied to one mode and missed
+    * in the other. Local fallback so jobs also run outside spark-submit.
+    */
+  private def buildSession(appName: String): SparkSession = {
+    val builder = SparkSession.builder().appName(appName)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+    val spark =
+      if (sys.env.contains("SPARK_GRAFT_LOCAL"))
+        builder.master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+          .config("spark.sql.shuffle.partitions",
+            sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+          .getOrCreate()
+      else builder.getOrCreate()
+    graft.operators.Dedup.registerCapLogger(spark) // cap drops are never silent
+    spark
+  }
+
   private def queryMode(opts: Map[String, String], q: String): Unit =
     if (q == "list") SparkEntry.queries.keys.toSeq.sorted.foreach(println)
     else {
@@ -81,21 +101,12 @@ object Main {
       val names =
         if (q == "all") SparkEntry.queries.keys.toSeq.sorted
         else q.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-      val builder = SparkSession.builder().appName("graft-query")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-      val spark =
-        if (sys.env.contains("SPARK_GRAFT_LOCAL"))
-          builder.master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-            .config("spark.sql.shuffle.partitions",
-              sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-            .getOrCreate()
-        else builder.getOrCreate()
-      graft.operators.Dedup.registerCapLogger(spark)
-      runQueries(spark, names, input, output).foreach { case (n, rows) =>
-        println(s"[graft] $n: $rows rows -> $output/$n")
-      }
-      spark.stop()
+      val spark = buildSession("graft-query")
+      try
+        runQueries(spark, names, input, output).foreach { case (n, rows) =>
+          println(s"[graft] $n: $rows rows -> $output/$n")
+        }
+      finally spark.stop()
     }
 
   def main(args: Array[String]): Unit = {
@@ -110,19 +121,7 @@ object Main {
     require(Set("salted", "heavy-only")(distribution),
       s"--distribution must be salted or heavy-only (got $distribution)")
 
-    val builder = SparkSession.builder().appName("graft-extract")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-    // local fallback so the job also runs outside spark-submit
-    val spark =
-      if (sys.env.contains("SPARK_GRAFT_LOCAL"))
-        builder.master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-          .config("spark.sql.shuffle.partitions",
-            sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-          .getOrCreate()
-      else builder.getOrCreate()
-
-    graft.operators.Dedup.registerCapLogger(spark) // cap drops are never silent
+    val spark = buildSession("graft-extract")
 
     val transcripts =
       if (input.startsWith("table:")) spark.read.table(input.stripPrefix("table:"))

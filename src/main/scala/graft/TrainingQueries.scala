@@ -524,7 +524,7 @@ object TrainingQueries {
       s"""WITH RECURSIVE $duckVerifiedPairCtes,
          |$duckClusterCtes,
          |prio AS (
-         |  SELECT doc_id, CAST(substr(source, 4) AS INTEGER) % 3 AS priority
+         |  SELECT doc_id, CAST(substr(source, 4, 6) AS INTEGER) % 3 AS priority
          |  FROM documents),
          |m AS (
          |  SELECT c.id AS doc_id, c.cluster_id, p.priority
@@ -1107,8 +1107,7 @@ object TrainingQueries {
          |    round(${dotD("x.emb", "y.emb")} / sqrt(x.na * y.na), 6) AS cos
          |  FROM asg x JOIN asg y ON x.cell = y.cell AND y.vec_id > x.vec_id),
          |drp AS (
-         |  SELECT DISTINCT CASE WHEN ac > bc OR (ac = bc AND a_id > b_id)
-         |    THEN a_id ELSE b_id END AS vec_id
+         |  SELECT DISTINCT CASE WHEN ac > bc THEN a_id ELSE b_id END AS vec_id
          |  FROM p WHERE cos >= 0.8)
          |SELECT g.vec_id, g.cell, g.centroid_cos,
          |  (d.vec_id IS NOT NULL) AS dropped

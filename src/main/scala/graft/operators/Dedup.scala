@@ -526,10 +526,12 @@ object Dedup {
   /** Source priority for [[clusterKeep]]: a deterministic stand-in rank
     * derived from the source name (real deployments supply a curated >
     * books > web preference table; swapping it in changes only this
-    * expression / a broadcast-joined table).
+    * expression / a broadcast-joined table). The numeric suffix parse is
+    * BOUNDED to 6 digits in both engines — an unbounded parse diverges on
+    * long suffixes (Spark CAST overflows to NULL where DuckDB errors).
     */
   def sourcePriority: Column =
-    pmod(expr("CAST(substring(source, 4, 10) AS INT)"), lit(3))
+    pmod(expr("CAST(substring(source, 4, 6) AS INT)"), lit(3))
 
   /** Priority-aware dup-cluster retention: keep the HIGHEST-PRIORITY
     * member of each cluster (tie -> lowest doc_id) instead of blindly the
@@ -956,8 +958,9 @@ object Dedup {
         col("a.centroid_cos").as("ac"), col("b.centroid_cos").as("bc"),
         round(dot / sqrt(col("a.na") * col("b.na")), 6).as("cos"))
       .filter(col("cos") >= minCos)
-      .select(when(col("ac") > col("bc") ||
-          (col("ac") === col("bc") && col("a_id") > col("b_id")), col("a_id"))
+      // a_id < b_id always holds (pairs come from a vec_id-sorted array),
+      // so "ties lose on the larger vec_id" IS the otherwise branch
+      .select(when(col("ac") > col("bc"), col("a_id"))
         .otherwise(col("b_id")).as("vec_id"))
       .distinct()
     rows.join(dropped.withColumn("d", lit(true)), Seq("vec_id"), "left")

@@ -126,18 +126,28 @@ object TextAnalysis {
     * max(n_tokens - 2, 0), so only the DISTINCT shingle set (the native
     * one-pass [[Dedup.shingles]] kernel) is materialized.
     */
-  def repetition(doc: DataFrame): DataFrame = {
+  /** (n_grams, n_distinct, dup_gram_ratio) expressions over `text` —
+    * ONE definition feeding both [[repetition]] and [[qualityFunnel]], so
+    * the funnel's stage can never drift from the standalone signal (the
+    * intersection invariant the funnel spec pins).
+    */
+  private def repetitionExprs: (Column, Column, Column) = {
     val n = size(tokens(col("text")))
     val total = greatest(n - lit(2), lit(0))
     val distinctN = when(total === 0, 0)
       .otherwise(size(Dedup.shingles(col("text"))))
+    val ratio = when(total === 0, 0.0)
+      .otherwise(round(lit(1.0) - distinctN.cast("double") / total.cast("double"), 4))
+    (total, distinctN, ratio)
+  }
+
+  def repetition(doc: DataFrame): DataFrame = {
+    val (total, distinctN, ratio) = repetitionExprs
     doc.select(
       col("doc_id"),
       total.cast("int").as("n_grams"),
       distinctN.cast("int").as("n_distinct"),
-      when(total === 0, 0.0)
-        .otherwise(round(lit(1.0) - distinctN.cast("double") / total.cast("double"), 4))
-        .as("dup_gram_ratio"))
+      ratio.as("dup_gram_ratio"))
   }
 
   /** PII patterns for [[scrubPii]] — restricted to character classes,
@@ -277,15 +287,23 @@ object TextAnalysis {
   val blockedTerms = Seq("slow", "crash", "deadlock")
   val blockedSources = Seq("src7", "src13")
 
-  def blocklist(doc: DataFrame): DataFrame = {
+  /** Blocked-term occurrence count over `text` — shared by [[blocklist]]
+    * and [[qualityFunnel]].
+    */
+  private def blockedTermCount: Column = {
     val inList = blockedTerms.map(t => s"'$t'").mkString(", ")
-    val nBlocked = size(expr(s"filter(split(text, ' '), t -> t IN ($inList))"))
-    doc.select(col("doc_id"), col("source"),
-      nBlocked.cast("int").as("n_blocked_terms"))
-      .select(col("doc_id"), col("source"), col("n_blocked_terms"),
-        (!col("source").isInCollection(blockedSources) &&
-          col("n_blocked_terms") === 0).as("keep"))
+    size(expr(s"filter(split(text, ' '), t -> t IN ($inList))"))
   }
+
+  /** The keep predicate over (`source`, a blocked-term count column). */
+  private def blocklistKeep(nBlocked: Column): Column =
+    !col("source").isInCollection(blockedSources) && nBlocked === 0
+
+  def blocklist(doc: DataFrame): DataFrame =
+    doc.select(col("doc_id"), col("source"),
+        blockedTermCount.cast("int").as("n_blocked_terms"))
+      .select(col("doc_id"), col("source"), col("n_blocked_terms"),
+        blocklistKeep(col("n_blocked_terms")).as("keep"))
 
   /** Hash-bucket count for [[classifierScore]]'s feature table. */
   val classifierBuckets = 64
@@ -398,17 +416,9 @@ object TextAnalysis {
   def qualityFunnel(doc: DataFrame): DataFrame = {
     val spark = doc.sparkSession
     import spark.implicits._
-    val inList = blockedTerms.map(t => s"'$t'").mkString(", ")
-    val blockOk =
-      !col("source").isInCollection(blockedSources) &&
-        size(expr(s"filter(split(text, ' '), t -> t IN ($inList))")) === 0
-    val nTok = size(tokens(col("text")))
-    val lengthOk = nTok >= shortDocTokens
-    val nGrams = greatest(nTok - lit(2), lit(0))
-    val distinctN = when(nGrams === 0, 0)
-      .otherwise(size(Dedup.shingles(col("text"))))
-    val ratio = when(nGrams === 0, 0.0)
-      .otherwise(round(lit(1.0) - distinctN.cast("double") / nGrams.cast("double"), 4))
+    val blockOk = blocklistKeep(blockedTermCount)
+    val lengthOk = size(tokens(col("text"))) >= shortDocTokens
+    val (_, _, ratio) = repetitionExprs
     val death =
       when(!blockOk, 1).when(!lengthOk, 2)
         .when(!(ratio <= funnelRepetitionMax), 3)

@@ -613,10 +613,16 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // every vector contributes to exactly one cell, all dims present
     assert(a.map(_._3).sum == emb.count() * Similarity.dims)
     assert(a.map(t => (t._1, t._2)).distinct.size == a.size)
-    // the mean moves the centroid: at least one cell mean differs from its
-    // seed centroid value (this is a genuine Lloyd update, not a no-op)
-    val seeds = emb.filter(col("vec_id") < Similarity.ivfCells).count()
-    assert(seeds == Similarity.ivfCells)
+    // the mean moves the centroid: at least one (cell, dim) mean differs
+    // from its seed centroid's value (a genuine Lloyd update, not an echo
+    // of the inputs)
+    val seedVals = emb.filter(col("vec_id") < Similarity.ivfCells)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    assert(seedVals.size == Similarity.ivfCells)
+    assert(a.exists { case (cell, dim, _, mean) =>
+      math.abs(mean - seedVals(cell)(dim - 1)) > 1e-6
+    }, "no centroid moved — kmeansStep echoed its seed centroids")
     // ONE Exchange total: narrow assignment map -> groupBy(cell) -> narrow
     // posexplode; no second shuffle for the long-format output
     val plan = Similarity.kmeansStep(emb).queryExecution.executedPlan.toString
