@@ -38,6 +38,11 @@ object SparkEntry {
     // ---------------------------------------------------------- extraction
     "e2e_extract" -> ((s, dir) => e2eExtract(s, dir)),
 
+    // per-conversation datasheet (one partial-agg groupBy on conv_id)
+    "conv_stats" -> ((s, dir) =>
+      Transcripts.convStats(Transcripts.fromDocuments(s, dir))
+        .orderBy("conv_id")),
+
     "o11_extract_html" -> ((s, dir) => {
       import s.implicits._
       Transcripts.documents(s, dir)
@@ -467,6 +472,24 @@ object SparkEntry {
            |  $expectedStatus AS status,
            |  $expectedEngine AS engine
            |FROM t ORDER BY conv_id, turn_idx""".stripMargin,
+
+      "conv_stats" ->
+        s"""WITH t AS (
+           |  SELECT doc_id,
+           |    'conv-' || lpad(CAST(doc_id % ${Transcripts.Conversations} AS VARCHAR), 4, '0') AS conv_id,
+           |    CAST(doc_id // ${Transcripts.Conversations} AS INTEGER) AS turn_idx,
+           |    CASE WHEN doc_id % 3 = 0 THEN 'user'
+           |         WHEN doc_id % 3 = 1 THEN 'assistant' ELSE 'tool' END AS role,
+           |    to_timestamp(doc_id) AS ts
+           |  FROM documents)
+           |SELECT conv_id, count(*) AS n_turns,
+           |  CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+           |  CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant,
+           |  CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool,
+           |  CAST(min(turn_idx) AS INTEGER) AS first_turn,
+           |  CAST(max(turn_idx) AS INTEGER) AS last_turn,
+           |  CAST(epoch(max(ts)) - epoch(min(ts)) AS BIGINT) AS span_sec
+           |FROM t GROUP BY conv_id ORDER BY conv_id""".stripMargin,
 
       "o11_extract_html" ->
         "SELECT doc_id, text FROM documents ORDER BY doc_id",

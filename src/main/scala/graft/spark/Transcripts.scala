@@ -116,4 +116,24 @@ object Transcripts {
       timestamp_seconds(col("doc_id")).as("ts")
     )
   }
+
+  /** Per-conversation datasheet over the transcripts table — the
+    * conversational analog of the per-source corpus datasheet: turn count,
+    * role mix, turn-index range, and wall-clock span per `conv_id`. At
+    * 10^12 turns this is the natural pre-aggregation before conv-level
+    * curation (drop single-turn conversations, cap runaway agent loops,
+    * stratify by tool share): ONE partial-agg groupBy keyed by conv_id —
+    * map-side combine collapses each scan split to its distinct
+    * conversations before the shuffle.
+    */
+  def convStats(t: DataFrame): DataFrame =
+    t.groupBy("conv_id").agg(
+      count(lit(1)).as("n_turns"),
+      sum(when(col("role") === "user", 1L).otherwise(0L)).as("n_user"),
+      sum(when(col("role") === "assistant", 1L).otherwise(0L)).as("n_assistant"),
+      sum(when(col("role") === "tool", 1L).otherwise(0L)).as("n_tool"),
+      min(col("turn_idx")).cast("int").as("first_turn"),
+      max(col("turn_idx")).cast("int").as("last_turn"),
+      (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+        .cast("long").as("span_sec"))
 }

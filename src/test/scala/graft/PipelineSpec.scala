@@ -984,6 +984,23 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange"), s"plan:\n$plan")
   }
 
+  test("conv: per-conversation datasheet conserves turns and role mix") {
+    val t = Transcripts.fromDocuments(spark, sfDir)
+    val s = Transcripts.convStats(t).cache()
+    assert(s.count() == Transcripts.Conversations)
+    // every turn lands in exactly one conversation; roles partition turns
+    val tot = s.agg(sum("n_turns"), sum("n_user"), sum("n_assistant"),
+      sum("n_tool")).collect()(0)
+    assert(tot.getLong(0) == t.count())
+    assert(tot.getLong(1) + tot.getLong(2) + tot.getLong(3) == tot.getLong(0))
+    // span covers the conversation's turn range: ts = doc_id seconds and
+    // turns are Conversations apart, so span = (last - first) * Conversations
+    val bad = s.filter(col("span_sec") =!=
+      (col("last_turn") - col("first_turn")).cast("long") * Transcripts.Conversations)
+    assert(bad.count() == 0)
+    s.unpersist()
+  }
+
   test("bpe: adjacent-pair counts, rank order, single-char tokens excluded") {
     import graft.operators.TextAnalysis
     import spark.implicits._
