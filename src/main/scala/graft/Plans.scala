@@ -58,6 +58,18 @@ object Plans {
         "both pure no-Exchange narrow maps: blocklists/weight table ship as plan literals, so term counting, source blocking, and the hash-lookup-sum-threshold score compose at scan speed with every other per-doc filter",
         fmt(TextAnalysis.blocklist(doc)) + "\n" +
           fmt(TextAnalysis.classifierScore(doc))),
+      ("Quality funnel (first-rejecting-stage attribution)",
+        "ONE corpus scan computing all four narrow signals -> groupBy(death stage) partial agg (O(stages) rows) -> left join vs the 5-row literal stage table -> cumulative window over 5 rows, never the corpus",
+        fmt(TextAnalysis.qualityFunnel(doc))),
+      ("Priority-aware cluster retention",
+        "cluster fixpoint output + one priority join + row_number window keyed by cluster_id (clusters are capped quasi-cliques, no skewed partition)",
+        fmt(Dedup.clusterKeep(doc))),
+      ("BPE first-merge pair statistics",
+        "map-side explode into an alphabet^2 key space -> partial agg collapses O(chars) rows BEFORE the shuffle -> rank window on the collapsed count table",
+        fmt(TextAnalysis.bpePairStats(doc))),
+      ("Per-conversation transcript datasheet",
+        "ONE partial-agg groupBy keyed by conv_id; map-side combine collapses each scan split to its distinct conversations before the shuffle",
+        fmt(Transcripts.convStats(t))),
       ("O22 histograms",
         "one partial-agg groupBy; unpivot explodes over (status, engine) groups only",
         fmt(ExtractPipeline.histograms(ExtractPipeline.extract(spark, t)))),
