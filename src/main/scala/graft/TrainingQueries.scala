@@ -206,6 +206,12 @@ object TrainingQueries {
     "sample_train_split" -> ((s, dir) =>
       Sampling.trainSplit(Transcripts.documents(s, dir)).orderBy("doc_id")),
 
+    // deterministic training-order shuffle: salted-hash permutation,
+    // shard-local ranking (terasort shape, no global sort)
+    "sample_shuffle" -> ((s, dir) =>
+      Sampling.shuffleOrder(Transcripts.documents(s, dir))
+        .orderBy("shard", "pos")),
+
     // token-budget mixture selection: salted-hash priority order within
     // (language, shard) strata until the shard budget fills (one shuffle)
     "sample_mixture_budget" -> ((s, dir) =>
@@ -792,6 +798,19 @@ object TrainingQueries {
          |  round(sum(n_tokens) * 1.0 / count(*), 4) AS mean_tokens,
          |  CAST(sum(CASE WHEN n_tokens < ${TextAnalysis.shortDocTokens} THEN 1 ELSE 0 END) AS BIGINT) AS n_short
          |FROM p GROUP BY 1, 2 ORDER BY source, predicted""".stripMargin,
+
+    "sample_shuffle" ->
+      s"""WITH k AS (
+         |  SELECT doc_id,
+         |    md5('graft-shuffle-' || CAST(doc_id AS VARCHAR)) AS k
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, k,
+         |    CAST('0x' || substr(k, 1, 2) AS INTEGER) % ${Sampling.shuffleShards} AS shard
+         |  FROM k)
+         |SELECT doc_id, CAST(shard AS INTEGER) AS shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS BIGINT) AS pos
+         |FROM s ORDER BY shard, pos""".stripMargin,
 
     "sample_train_split" ->
       s"""WITH s AS (

@@ -234,4 +234,32 @@ object Sampling {
     */
   def evalHoldout(doc: DataFrame): DataFrame =
     doc.filter(pmod(col("doc_id"), lit(97)) === 0)
+
+  /** Shard count for [[shuffleOrder]] — at 10^12 docs this rises to
+    * O(10^4-10^5) so each shard's sort fits one task's memory.
+    */
+  val shuffleShards = 16
+
+  /** Deterministic corpus SHUFFLE for training order: every epoch of
+    * pretraining reads the corpus in (near-)random order, and at 10^12
+    * rows that order cannot be a global sort or an RNG — it is a salted
+    * hash: key = md5(salt || doc_id) is a reproducible uniform
+    * permutation, sharded by the key's first byte so ordering is
+    * SHARD-LOCAL (readers stream shards in index order; within-shard rank
+    * is a per-shard sort, the terasort shape — no total order ever
+    * materializes). Same salt = same order (resumable mid-epoch by
+    * (shard, pos)); a new salt reshuffles for the next epoch. Output:
+    * `(doc_id, shard, pos)`.
+    */
+  def shuffleOrder(doc: DataFrame, salt: String = "graft-shuffle"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("k"), col("doc_id"))
+    doc.select(col("doc_id"),
+        md5(concat(lit(salt), lit("-"), col("doc_id").cast("string"))).as("k"))
+      .withColumn("shard",
+        pmod(expr("CAST(conv(substring(k, 1, 2), 16, 10) AS INT)"),
+          lit(shuffleShards)).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
 }

@@ -878,6 +878,28 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no exchange reuse in final plan:\n$plan")
   }
 
+  test("sampling: shuffle order is a reproducible salted permutation, shard-local") {
+    import graft.operators.Sampling
+    val doc = Transcripts.documents(spark, sfDir)
+    def order(salt: String): Seq[(Long, Int, Long)] =
+      Sampling.shuffleOrder(doc, salt).orderBy("shard", "pos").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val a = order("graft-shuffle")
+    // a permutation of the corpus: every doc exactly once
+    assert(a.map(_._1).sorted == doc.select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq)
+    // positions are contiguous 1..n within each shard
+    a.groupBy(_._2).values.foreach { s =>
+      assert(s.map(_._3).sorted == (1L to s.size.toLong))
+    }
+    // reproducible under the salt; a new salt genuinely reshuffles
+    assert(order("graft-shuffle") == a)
+    assert(order("epoch-2") != a)
+    // ONE Exchange: the shard hash partitioning feeding the per-shard sort
+    val plan = Sampling.shuffleOrder(doc).queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).length == 1, s"plan:\n$plan")
+  }
+
   test("dedup: cluster retention keeps the highest-priority member (tie -> min id)") {
     import spark.implicits._
     // identical texts from sources with priorities 1 (src1) and 2 (src2):
