@@ -222,6 +222,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // crawl-URL canonicalization (the URL-dedup key) via the native
+    // codegen'd UrlCanonical expression over deterministic URL variants
+    "url_canonical" -> ((s, dir) => {
+      val cls = pmod(col("doc_id"), lit(5))
+      Transcripts.documents(s, dir).select(col("doc_id"),
+          when(cls === 0,
+            concat(lit("https://EXAMPLE.com/docs/"), col("doc_id"), lit("/")))
+          .when(cls === 1,
+            concat(lit("http://example.com:80/a/"), col("doc_id"),
+              lit("?utm_source=feed&q="), col("doc_id")))
+          .when(cls === 2,
+            concat(lit("https://Example.COM:8443/x/"), col("doc_id"), lit("#frag")))
+          .when(cls === 3,
+            concat(lit("ftp://files.example.com/"), col("doc_id")))
+          .otherwise(
+            concat(lit("https://user:Pw@example.com/p/"), col("doc_id"),
+              lit("/?fbclid=abc")))
+          .as("url"))
+        .select(col("doc_id"), col("url"),
+          graft.spark.HashFunctions.urlCanonical(col("url")).as("canonical"))
+        .orderBy("doc_id")
+    }),
+
     // O20 postback as an actual side output: foreachBatch delivery table
     // recording attempts/delivered/backoff per row via
     // Delivery.postbackOutcome (ocr_postback_client.go:27-78).
@@ -613,6 +636,27 @@ object SparkEntry {
            |${(durSelects ++ sizeSelects ++ infSelects).mkString("\nUNION ALL\n")}
            |ORDER BY metric, status, engine, le""".stripMargin
       },
+
+      "url_canonical" ->
+        // the oracle enumerates the expected canonical form per URL class
+        // (same doc_id interpolation); the algorithm's edge cases are
+        // pinned by the Urls.canonicalize unit tests
+        """SELECT doc_id,
+          |  CASE doc_id % 5
+          |    WHEN 0 THEN 'https://EXAMPLE.com/docs/' || doc_id || '/'
+          |    WHEN 1 THEN 'http://example.com:80/a/' || doc_id || '?utm_source=feed&q=' || doc_id
+          |    WHEN 2 THEN 'https://Example.COM:8443/x/' || doc_id || '#frag'
+          |    WHEN 3 THEN 'ftp://files.example.com/' || doc_id
+          |    ELSE 'https://user:Pw@example.com/p/' || doc_id || '/?fbclid=abc'
+          |  END AS url,
+          |  CASE doc_id % 5
+          |    WHEN 0 THEN 'https://example.com/docs/' || doc_id
+          |    WHEN 1 THEN 'http://example.com/a/' || doc_id || '?q=' || doc_id
+          |    WHEN 2 THEN 'https://example.com:8443/x/' || doc_id
+          |    WHEN 3 THEN 'ftp://files.example.com/' || doc_id
+          |    ELSE 'https://user:Pw@example.com/p/' || doc_id
+          |  END AS canonical
+          |FROM documents ORDER BY doc_id""".stripMargin,
 
       "o3_url_policy" -> {
         val url =

@@ -63,4 +63,56 @@ object Urls {
     if (idx < 0) uri
     else uri.substring(0, idx) + "***@" + uri.substring(idx + pass.length + 1)
   }
+
+  /** Crawl-style URL canonicalization — the dedup-key normalization every
+    * web corpus applies before URL-level dedup (RFC 3986 §6 syntax-based
+    * normalization plus the crawl conventions): lowercase scheme and host,
+    * strip the fragment, strip the default port (80/443), strip trailing
+    * path slashes, and drop tracking query params (`utm_*`, `fbclid`) while
+    * preserving the remaining params in order. Non-http(s) or
+    * authority-less inputs are returned UNCHANGED (canonicalization must
+    * be total on crawl garbage). Userinfo is preserved verbatim —
+    * log-safety is [[stripPassword]]'s job; compose the two for output.
+    * Pure and deterministic: the columnar form
+    * ([[graft.spark.HashFunctions.urlCanonical]]) wraps exactly this
+    * function, so the unit-tested edge cases ARE the cluster semantics.
+    */
+  def canonicalize(url: String): String = {
+    val ss = if (url == null) -1 else url.indexOf("://")
+    if (ss <= 0) return url
+    val scheme = url.substring(0, ss).toLowerCase
+    if (scheme != "http" && scheme != "https") return url
+    var rest = url.substring(ss + 3)
+    val h = rest.indexOf('#')
+    if (h >= 0) rest = rest.substring(0, h)
+    val authEnd = {
+      val s = rest.indexOf('/'); val q = rest.indexOf('?')
+      if (s < 0 && q < 0) rest.length else if (s < 0) q else if (q < 0) s else math.min(s, q)
+    }
+    val auth = rest.substring(0, authEnd)
+    val tail = rest.substring(authEnd)
+    val at = auth.lastIndexOf('@')
+    val (userinfo, hostport) =
+      if (at >= 0) (auth.substring(0, at + 1), auth.substring(at + 1)) else ("", auth)
+    val colon = hostport.lastIndexOf(':')
+    val (host, port) =
+      if (colon >= 0 && colon < hostport.length - 1 &&
+        hostport.substring(colon + 1).forall(_.isDigit))
+        (hostport.substring(0, colon), hostport.substring(colon + 1))
+      else (hostport, "")
+    val defaultPort = if (scheme == "http") "80" else "443"
+    val portPart = if (port.isEmpty || port == defaultPort) "" else ":" + port
+    val qi = tail.indexOf('?')
+    var path = if (qi >= 0) tail.substring(0, qi) else tail
+    val query = if (qi >= 0) tail.substring(qi + 1) else null
+    while (path.endsWith("/")) path = path.substring(0, path.length - 1)
+    val keptQuery =
+      if (query == null) ""
+      else {
+        val kept = query.split("&", -1).filter(p =>
+          p.nonEmpty && !p.startsWith("utm_") && !p.startsWith("fbclid"))
+        if (kept.isEmpty) "" else "?" + kept.mkString("&")
+      }
+    scheme + "://" + userinfo + host.toLowerCase + portPart + path + keptQuery
+  }
 }

@@ -131,7 +131,8 @@ object GraftExtensions {
     unaryFn("shingles3", classOf[Shingles3], Shingles3),
     unaryFn("minhash16", classOf[MinHash16], MinHash16),
     unaryFn("rolling_hash", classOf[RollingHash], RollingHash),
-    unaryFn("simhash16", classOf[SimHash16], SimHash16))
+    unaryFn("simhash16", classOf[SimHash16], SimHash16),
+    unaryFn("url_canonical", classOf[UrlCanonical], UrlCanonical))
 
   /** Imperative registration on an already-built session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -341,8 +341,46 @@ case class SimHashPairs(child: Expression, maxHamming: Int) extends UnaryExpress
     copy(child = newChild)
 }
 
+/** Static kernel for [[UrlCanonical]] — delegates to the unit-tested core
+  * function so the columnar semantics ARE [[graft.core.Urls.canonicalize]].
+  */
+object UrlKernel {
+  def canonicalize(url: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      graft.core.Urls.canonicalize(url.toString))
+}
+
+/** Native codegen'd crawl-URL canonicalization (see
+  * [[graft.core.Urls.canonicalize]]): the dedup-key normalization applied
+  * before URL-level dedup at crawl scale — a narrow map, one kernel call
+  * per row inside whole-stage codegen.
+  */
+case class UrlCanonical(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"url_canonical expects string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(u: Any): Any =
+    UrlKernel.canonicalize(u.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.UrlKernel.canonicalize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** DataFrame-DSL access. */
 object HashFunctions {
+  def urlCanonical(url: Column): Column =
+    GraftColumnBridge.column(UrlCanonical(GraftColumnBridge.expression(url)))
+
   def minHash16(grams: Column): Column =
     GraftColumnBridge.column(MinHash16(GraftColumnBridge.expression(grams)))
 

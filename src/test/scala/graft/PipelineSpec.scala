@@ -1006,6 +1006,30 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange"), s"plan:\n$plan")
   }
 
+  test("url: native canonicalizer matches the core function, codegen, SQL-registered") {
+    import spark.implicits._
+    val urls = Seq(
+      "https://EXAMPLE.com:443/Docs//", "http://a.com:80/?utm_source=f&q=1",
+      "https://u:Pw@A.com/p/#frag", "ftp://files.a.com/x/", "not a url", "")
+    val df = urls.toDF("url")
+    val got = df.select(graft.spark.HashFunctions.urlCanonical(col("url")))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == urls.map(graft.core.Urls.canonicalize))
+    // participates in whole-stage codegen (a parquet-backed input — a
+    // local relation constant-folds to LocalTableScan before codegen)
+    val plan = Transcripts.documents(spark, sfDir)
+      .select(graft.spark.HashFunctions.urlCanonical(
+        concat(lit("https://A.com/"), col("doc_id"))))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"no codegen stage in:\n$plan")
+    // and is reachable from the SQL surface
+    graft.spark.GraftExtensions.register(spark)
+    df.createOrReplaceTempView("urls_v")
+    val viaSql = spark.sql("SELECT url_canonical(url) AS c FROM urls_v")
+      .collect().map(_.getString(0)).toSeq
+    assert(viaSql == got)
+  }
+
   test("conv: per-conversation datasheet conserves turns and role mix") {
     val t = Transcripts.fromDocuments(spark, sfDir)
     val s = Transcripts.convStats(t).cache()
