@@ -245,6 +245,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // URL-level dedup on the canonical key: two variants per page (a
+    // trailing-slash form and a tracking-param form) collapse to one
+    // canonical URL; one hash shuffle on the key, min doc_id survives —
+    // the crawl-frontier dedup the canonicalizer exists for
+    "url_dedup" -> ((s, dir) => {
+      val url = concat(lit("https://EXAMPLE.com/page/"),
+        expr("CAST(doc_id DIV 2 AS LONG)"),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit("/"))
+          .otherwise(lit("?utm_source=x")))
+      Transcripts.documents(s, dir)
+        .select(col("doc_id"),
+          graft.spark.HashFunctions.urlCanonical(url).as("canonical"))
+        .groupBy("canonical")
+        .agg(count(lit(1)).cast("long").as("n_variants"),
+          min(col("doc_id")).as("keep_doc_id"))
+        .orderBy("canonical")
+    }),
+
     // O20 postback as an actual side output: foreachBatch delivery table
     // recording attempts/delivered/backoff per row via
     // Delivery.postbackOutcome (ocr_postback_client.go:27-78).
@@ -657,6 +675,11 @@ object SparkEntry {
           |    ELSE 'https://user:Pw@example.com/p/' || doc_id
           |  END AS canonical
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "url_dedup" ->
+        """SELECT 'https://example.com/page/' || (doc_id // 2) AS canonical,
+          |  count(*) AS n_variants, min(doc_id) AS keep_doc_id
+          |FROM documents GROUP BY 1 ORDER BY canonical""".stripMargin,
 
       "o3_url_policy" -> {
         val url =

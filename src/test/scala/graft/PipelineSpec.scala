@@ -1028,6 +1028,12 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val viaSql = spark.sql("SELECT url_canonical(url) AS c FROM urls_v")
       .collect().map(_.getString(0)).toSeq
     assert(viaSql == got)
+    // the url_dedup query's property: trailing-slash and tracking-param
+    // variants of the same page collapse to ONE canonical key
+    val dd = SparkEntry.queries("url_dedup")(spark, sfDir).cache()
+    assert(dd.count() * 2 == Transcripts.documents(spark, sfDir).count())
+    assert(dd.filter(col("n_variants") =!= 2).count() == 0)
+    dd.unpersist()
   }
 
   test("conv: per-conversation datasheet conserves turns and role mix") {
