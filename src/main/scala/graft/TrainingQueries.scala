@@ -23,6 +23,45 @@ object TrainingQueries {
     s"($dot) / sqrt(($na) * ($nb))"
   }
 
+  /** DuckDB fragment: `iters` chained fixed-point Lloyd iterations over
+    * relation `src(vec_id, embCol)`, starting from the first-K seed
+    * (`cent0`) and ending at `cent<iters>` — each iteration is the
+    * ann_kmeans_step twin (round-6 cosine assignment with lowest-cell
+    * tiebreak, floor(x*2^20) BIGINT sums) plus the empty-cell fallback
+    * (cells with no members keep their previous centroid, expressed as a
+    * LEFT JOIN + COALESCE). Integer accumulation keeps every iteration —
+    * and so the whole chain — bit-identical to the Spark loop.
+    */
+  private def duckKmeansIters(src: String, embCol: String, iters: Int): String = {
+    val k = Similarity.ivfCells
+    val scale = Similarity.kmeansScale
+    val seed =
+      s"""cent0 AS (
+         |  SELECT vec_id AS cell, list_transform($embCol, x -> CAST(x AS DOUBLE)) AS ce
+         |  FROM $src WHERE vec_id < $k)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""sc$i AS (
+         |  SELECT s.vec_id, s.$embCol AS embedding, c.cell,
+         |    round(${duckCosine(s"s.$embCol", "c.ce")}, 6) AS ccos
+         |  FROM $src s, cent${i - 1} c),
+         |a$i AS (
+         |  SELECT vec_id, embedding, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rn
+         |  FROM sc$i),
+         |m$i AS (
+         |  SELECT cell, d AS dim,
+         |    CAST(sum(CAST(floor(CAST(embedding[d] AS DOUBLE) * $scale) AS BIGINT)) AS DOUBLE)
+         |      / (count(*) * $scale.0) AS mean
+         |  FROM a$i, range(1, 65) t(d) WHERE rn = 1 GROUP BY cell, d),
+         |cent$i AS (
+         |  SELECT p.cell, COALESCE(n.ce, p.ce) AS ce
+         |  FROM cent${i - 1} p LEFT JOIN
+         |    (SELECT cell, list(mean ORDER BY dim) AS ce FROM m$i GROUP BY cell) n
+         |    ON n.cell = p.cell)""".stripMargin
+    }
+    (seed +: steps).mkString(",\n")
+  }
+
   /** DuckDB fragment: distinct word-3-gram shingles of `text`. */
   private val duckShingles =
     """list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
@@ -311,6 +350,13 @@ object TrainingQueries {
         .transform(e => Dedup.semanticDedup(e, minCos = 0.8))
         .orderBy("vec_id")),
 
+    // SemDeDup with TRAINED k-means centroids (2 fixed-point Lloyd
+    // iterations over the same dup-injected base) as the quantizer
+    "dedup_semantic_trained" -> ((s, dir) =>
+      s.read.parquet(s"$dir/embeddings.parquet")
+        .transform(e => Dedup.semanticDedupTrained(e, minCos = 0.8, iters = 2))
+        .orderBy("vec_id")),
+
     "ann_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(s.read.parquet(s"$dir/embeddings.parquet"))
         .orderBy("query_id", "rank")),
@@ -331,6 +377,13 @@ object TrainingQueries {
 
     "ann_kmeans_step" -> ((s, dir) =>
       Similarity.kmeansStep(s.read.parquet(s"$dir/embeddings.parquet"))
+        .orderBy("cell", "dim")),
+
+    // the trained-centroid table after 2 fixed-point Lloyd iterations —
+    // the loop kmeansStep exists for (empty cells keep their previous
+    // centroid; bit-reproducible under any partitioning)
+    "ann_kmeans_train" -> ((s, dir) =>
+      Similarity.kmeansTrain(s.read.parquet(s"$dir/embeddings.parquet"), iters = 2)
         .orderBy("cell", "dim")),
 
     "ann_ivf_topk" -> ((s, dir) =>
@@ -1134,6 +1187,51 @@ object TrainingQueries {
          |ORDER BY g.vec_id""".stripMargin
     },
 
+    "dedup_semantic_trained" -> {
+      // the dedup_semantic twin with the quantizer swapped for TRAINED
+      // centroids: two duckKmeansIters Lloyd iterations over the SAME
+      // injected base, then the identical assignment/pair/drop pipeline
+      // reading cent2 (nb recomputed from the trained list exactly as the
+      // Spark side's driver-side fold)
+      def dotD(a: String, b: String) =
+        s"list_sum(list_transform(range(1, 65), n -> $a[n] * $b[n]))"
+      s"""WITH base AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 10000 AS vec_id,
+         |    list_transform(range(1, 65),
+         |      i -> CASE WHEN i = 1 THEN CAST(embedding[i] AS DOUBLE) + 0.5
+         |                ELSE CAST(embedding[i] AS DOUBLE) END) AS emb
+         |  FROM embeddings),
+         |${duckKmeansIters("base", "emb", 2)},
+         |v AS (SELECT vec_id, emb, ${dotD("emb", "emb")} AS na FROM base),
+         |centf AS (
+         |  SELECT cell AS centroid_id, ce, ${dotD("ce", "ce")} AS nb FROM cent2),
+         |sc AS (
+         |  SELECT e.vec_id, e.emb, e.na, c.centroid_id,
+         |    round(${dotD("e.emb", "c.ce")} / sqrt(e.na * c.nb), 6) AS ccos
+         |  FROM v e, centf c),
+         |a AS (
+         |  SELECT vec_id, emb, na, centroid_id, ccos,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rn
+         |  FROM sc),
+         |asg AS (
+         |  SELECT vec_id, emb, na, centroid_id AS cell, ccos AS centroid_cos
+         |  FROM a WHERE rn = 1),
+         |p AS (
+         |  SELECT x.vec_id AS a_id, y.vec_id AS b_id,
+         |    x.centroid_cos AS ac, y.centroid_cos AS bc,
+         |    round(${dotD("x.emb", "y.emb")} / sqrt(x.na * y.na), 6) AS cos
+         |  FROM asg x JOIN asg y ON x.cell = y.cell AND y.vec_id > x.vec_id),
+         |drp AS (
+         |  SELECT DISTINCT CASE WHEN ac > bc THEN a_id ELSE b_id END AS vec_id
+         |  FROM p WHERE cos >= 0.8)
+         |SELECT g.vec_id, g.cell, g.centroid_cos,
+         |  (d.vec_id IS NOT NULL) AS dropped
+         |FROM asg g LEFT JOIN drp d ON g.vec_id = d.vec_id
+         |ORDER BY g.vec_id""".stripMargin
+    },
+
     "ann_topk" ->
       s"""WITH s AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -1207,6 +1305,14 @@ object TrainingQueries {
          |SELECT cell, CAST(dim AS INTEGER) AS dim, count(*) AS n_vecs,
          |  CAST(sum(qd) AS DOUBLE) / (count(*) * ${Similarity.kmeansScale}.0) AS mean
          |FROM q GROUP BY cell, dim ORDER BY cell, dim""".stripMargin,
+
+    "ann_kmeans_train" ->
+      // two chained Lloyd iterations (duckKmeansIters) -> the trained
+      // centroid table in long format; bit-exact because every iteration's
+      // centroid means are exact-integer-sum divisions on both engines
+      s"""WITH ${duckKmeansIters("embeddings", "embedding", 2)}
+         |SELECT cell, CAST(d AS INTEGER) AS dim, ce[d] AS mean
+         |FROM cent2, range(1, 65) t(d) ORDER BY cell, dim""".stripMargin,
 
     "ann_ivf_topk" ->
       s"""WITH cent AS (

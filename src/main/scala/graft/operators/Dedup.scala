@@ -933,10 +933,32 @@ object Dedup {
     * row per vector `(vec_id, cell, centroid_cos, dropped)`.
     */
   def semanticDedup(emb: DataFrame, minCos: Double = 0.8): DataFrame = {
-    import graft.spark.VectorFunctions.vecDot
     val base = withInjectedNearDups(emb)
       .select(col("vec_id"), col("emb").as("embedding"))
-    val cents = Similarity.collectCentroids(base)
+    semanticDedupFrom(base, Similarity.collectCentroids(base), minCos)
+  }
+
+  /** [[semanticDedup]] with TRAINED k-means centroids — the quantizer swap
+    * its scaladoc promises: [[Similarity.trainCentroids]] iterates the
+    * fixed-point Lloyd step over the same dup-injected base, and the
+    * trained table drops in as the collected centroid argument. Tighter
+    * clusters concentrate the true near-dups into shared cells (SemDeDup's
+    * premise: the clustering quality IS the recall dial), with the plan
+    * shape unchanged — training adds `iters` (assignment map + O(cells)
+    * shuffle) rounds up front, nothing downstream.
+    */
+  def semanticDedupTrained(emb: DataFrame, minCos: Double = 0.8, iters: Int = 2): DataFrame = {
+    val base = withInjectedNearDups(emb)
+      .select(col("vec_id"), col("emb").as("embedding"))
+    semanticDedupFrom(base, Similarity.trainCentroids(base, iters), minCos)
+  }
+
+  /** The SemDeDup core over a prebuilt `(vec_id, embedding)` base and an
+    * already-collected centroid table (first-K or trained).
+    */
+  private def semanticDedupFrom(
+      base: DataFrame, cents: Array[(Long, Array[Double])], minCos: Double): DataFrame = {
+    import graft.spark.VectorFunctions.vecDot
     val cells = Similarity.ivfAssignScoredWith(base, cents)
       .groupBy("cell")
       // sorted by vec_id (unique first field) so in-cell (i, j > i) pair

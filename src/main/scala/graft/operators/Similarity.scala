@@ -295,8 +295,15 @@ object Similarity {
     * mean = sum_q / (n * 2^20), exact integer inputs to one double
     * division, so no rounding is needed anywhere.
     */
-  def kmeansStep(emb: DataFrame): DataFrame = {
-    val assigned = ivfAssignWith(emb, collectCentroids(emb))
+  def kmeansStep(emb: DataFrame): DataFrame =
+    kmeansStepWith(emb, collectCentroids(emb))
+
+  /** [[kmeansStep]] from an explicit centroid table — the form the training
+    * loop ([[trainCentroids]]) iterates: each round's recomputed centroids
+    * feed the next round's assignment.
+    */
+  def kmeansStepWith(emb: DataFrame, cents: Array[(Long, Array[Double])]): DataFrame = {
+    val assigned = ivfAssignWith(emb, cents)
     val q = assigned.withColumn("q",
       expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${kmeansScale}D) AS BIGINT))"))
     val sums = (1 to dims).map(i => sum(element_at(col("q"), i)).as(s"s$i"))
@@ -308,6 +315,49 @@ object Similarity {
         col("n_vecs").cast("long").as("n_vecs"),
         (col("s").cast("double") / (col("n_vecs").cast("double") * lit(kmeansScale.toDouble)))
           .as("mean"))
+  }
+
+  /** TRAINED k-means centroids: iterate the fixed-point Lloyd step `iters`
+    * times from the deterministic first-K seed — the loop
+    * [[kmeansStep]]'s scaladoc declares ("collect the 16-row output, feed
+    * it back"). A cell that captures no member in a round KEEPS its
+    * previous centroid (the standard empty-cell rule, and the one an SQL
+    * twin can express as a left-join fallback). Each round is one
+    * full-corpus narrow assignment map + one O(cells)-row shuffle + a
+    * cells×dims driver fetch (1,024 doubles here — the same driver
+    * footprint as [[collectCentroids]]), so the loop scales exactly as the
+    * step does; the fixed-point accumulation makes every round — and thus
+    * the trained table — bit-reproducible under any partitioning or
+    * cluster size (the north rule's N-vs-4N equality).
+    */
+  def trainCentroids(emb: DataFrame, iters: Int): Array[(Long, Array[Double])] = {
+    var cents = collectCentroids(emb)
+    var it = 0
+    while (it < iters) {
+      val byCell = kmeansStepWith(emb, cents).collect()
+        .groupBy(_.getAs[Long]("cell"))
+        .map { case (c, rs) =>
+          val arr = new Array[Double](dims)
+          rs.foreach(r => arr(r.getAs[Int]("dim") - 1) = r.getAs[Double]("mean"))
+          (c, arr)
+        }
+      cents = cents.map { case (id, old) => (id, byCell.getOrElse(id, old)) }
+      it += 1
+    }
+    cents
+  }
+
+  /** The trained centroid table as a DataFrame `(cell, dim, mean)` — the
+    * queryable artifact of [[trainCentroids]] (driver-built: cells×dims
+    * rows, the size of one collected step output).
+    */
+  def kmeansTrain(emb: DataFrame, iters: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    trainCentroids(emb, iters)
+      .flatMap { case (cell, arr) =>
+        arr.iterator.zipWithIndex.map { case (m, i) => (cell, i + 1, m) }
+      }.toSeq.toDF("cell", "dim", "mean")
   }
 
   /** LSH-bucketed top-k: same ranking but candidates restricted to the

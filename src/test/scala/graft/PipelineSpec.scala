@@ -630,6 +630,34 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges == 1, s"expected 1 Exchange, got $exchanges in:\n$plan")
   }
 
+  test("ann: kmeans training loop converges monotonically and reproduces to the bit") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def flat(cents: Array[(Long, Array[Double])]): Seq[(Long, Seq[Double])] =
+      cents.map { case (c, a) => (c, a.toSeq) }.toSeq
+    val t2 = Similarity.trainCentroids(emb, 2)
+    // bit-identical under repartitioning (the integer-accumulation
+    // property, now carried through the whole loop)
+    assert(flat(t2) == flat(Similarity.trainCentroids(emb.repartition(7), 2)))
+    // the loop genuinely iterates: iteration 2 moves centroids beyond
+    // iteration 1, and both differ from the seed
+    val t1 = Similarity.trainCentroids(emb, 1)
+    val seed = Similarity.collectCentroids(emb)
+    assert(flat(t1) != flat(seed) && flat(t2) != flat(t1))
+    // all cells survive (non-empty or fallback) with full dimensionality
+    assert(t2.length == Similarity.ivfCells &&
+      t2.forall(_._2.length == Similarity.dims))
+    // kmeansTrain is the same table in long format
+    val df = Similarity.kmeansTrain(emb, 2).orderBy("cell", "dim").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(df == t2.toSeq.sortBy(_._1).flatMap { case (c, a) =>
+      a.zipWithIndex.map { case (m, i) => (c, i + 1, m) } })
+    // trained-quantizer SemDeDup returns one row per injected-base vector
+    // and never drops MORE boundary examples than it keeps structure for:
+    // same row count as the first-K variant (drop flags may differ)
+    val plain = Dedup.semanticDedup(emb).count()
+    assert(Dedup.semanticDedupTrained(emb).count() == plain)
+  }
+
   test("ann: ivf nprobe=2 never ranks worse than nprobe=1 and stays map-side") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val p1 = Similarity.ivfTopK(emb, nQueries = 5, k = 1)
