@@ -407,7 +407,18 @@ object Bench {
         case (Some((na, wa, ca)), Some((nb, wb, cb))) =>
           val eff = ((nb / wb) / (na / wa)) / (cores4N.toDouble / coresN)
           val cons = (ca * 1e6 / math.max(1L, na)) / (cb * 1e6 / math.max(1L, nb))
-          Some((eff, cons))
+          // same-window resource ceilings for THIS 4N->16N pair — without
+          // them every verdict re-explains the shared-DRAM box by hand;
+          // the 16N gauge level spans the full core range, so it runs
+          // from core 0 (no top-of-range pinning is possible at width 32)
+          Thread.sleep(2000)
+          val kern = kernelTputs(Seq(coresN, cores4N), 0)
+          val mem = memTputs(Seq(coresN, cores4N), 0)
+          def ceil(m: Map[Int, Double]): Double = (m.get(coresN), m.get(cores4N)) match {
+            case (Some(a), Some(b)) if a > 0 => (b / a) / (cores4N.toDouble / coresN)
+            case _ => Double.NaN
+          }
+          Some((eff, cons, ceil(kern), ceil(mem)))
         case _ => None
       }
     }
@@ -460,6 +471,20 @@ object Bench {
     val minCeilingRelative = if (minRelRounds.nonEmpty) medianD(minRelRounds) else Double.NaN
     val effHigh = medianD(highPairs.map(_._1).toVector)
     val consHigh = medianD(highPairs.map(_._2).toVector)
+    // binding-resource ceiling of the diagnostic pair's own windows, and
+    // the weather-corrected diagnostic ratio (same construction as the
+    // graded min_ceiling_relative): medians over the adjacent-pair rounds
+    val minCeil16Rounds = highPairs.toVector.collect {
+      case (_, _, ck, cd) if !ck.isNaN || !cd.isNaN =>
+        Seq(ck, cd).filterNot(_.isNaN).min
+    }
+    val rel16Rounds = highPairs.toVector.collect {
+      case (e, _, ck, cd) if !ck.isNaN || !cd.isNaN =>
+        e / Seq(ck, cd).filterNot(_.isNaN).min
+    }
+    val ceiling16n =
+      if (minCeil16Rounds.nonEmpty) medianD(minCeil16Rounds) else Double.NaN
+    val rel16n = if (rel16Rounds.nonEmpty) medianD(rel16Rounds) else Double.NaN
 
     // cleanup corpora
     Seq(corpusDir, corpusFullDir).foreach { d =>
@@ -648,7 +673,13 @@ object Bench {
            |Continuing up the ladder on this single box: $coresN -> $cores4N cores
            |gives wall efficiency $effHigh%.3f (adjacent same-window pairs,
            |diagnostic only) with cpu-us/turn rising $cpuPerTurnN%.1f ->
-           |$cpuPerTurn4N%.1f (work conservation $consHigh%.3f). The pure
+           |$cpuPerTurn4N%.1f (work conservation $consHigh%.3f). The pair now
+           |carries its OWN same-window gauges: binding-resource ceiling
+           |${jnum(ceiling16n)} (min of the cpu-kernel and DRAM gauges run at
+           |$coresN/$cores4N threads adjacent to each pair) and
+           |weather-corrected rel ${jnum(rel16n)} — when rel is ~1 the job
+           |loses exactly what the box's own gauges lose above ~8 active
+           |cores, i.e. the shared-DRAM ceiling, not a plan defect. The pure
            |extraction kernel scales 8 -> 32 threads at ~0.8 on this box; the
            |full job moves ~10x more bytes/turn (parquet string decode +
            |shuffle), so beyond ~8 active cores it hits this VM's DRAM ceiling —
@@ -686,7 +717,7 @@ object Bench {
     // over-long line), printed LAST. No per-query map, no protocol prose —
     // both live in BENCH.md.
     val json =
-      f"""{"metric":"turns/sec extracted (per-turn text-equality pass rate = 100%%)","value":$tputHeadline%.1f,"unit":"turns/sec","sf":"$sfDir","turns":$n4N,"amplify":${amplify * 2},"turns_graded":$nN,"amplify_graded":$amplify,"queries_total_sec":$queriesTotal%.1f,"rounds":$roundsCompleted,"ladder":[{"cores":$coresLow,"wall_sec":$wallLow%.2f,"turns_per_sec":$tputLow%.1f,"cpu_us_per_turn":$cpuPerTurnLow%.1f},{"cores":$coresN,"wall_sec":$wallN%.2f,"turns_per_sec":$tputN%.1f,"cpu_us_per_turn":$cpuPerTurnN%.1f},{"cores":$cores4N,"wall_sec":$wall4N%.2f,"turns_per_sec":$tput4N%.1f,"cpu_us_per_turn":$cpuPerTurn4N%.1f}],"n":$coresLow,"4n":$coresN,"wall_efficiency_n_to_4n":$effPrimary%.3f,"wall_efficiency_4n_to_16n":$effHigh%.3f,"cpu_work_conservation_n_to_4n":$consPrimary%.3f,"cpu_work_conservation_4n_to_16n":$consHigh%.3f,"per_round_eff":${roundArr(_.eff)},"per_round_cpu_ceiling":${roundArr(_.cpuCeil)},"per_round_dram_ceiling":${roundArr(_.dramCeil)},"kernel_ceiling_n_to_4n":${jnum(kernelCeiling)},"dram_ceiling_n_to_4n":${jnum(dramCeiling)},"ceiling_relative_n_to_4n":${jnum(ceilingRelative)},"min_ceiling_relative_n_to_4n":${jnum(minCeilingRelative)},"passes_per_level":$passesPerLevel}"""
+      f"""{"metric":"turns/sec extracted (per-turn text-equality pass rate = 100%%)","value":$tputHeadline%.1f,"unit":"turns/sec","sf":"$sfDir","turns":$n4N,"amplify":${amplify * 2},"turns_graded":$nN,"amplify_graded":$amplify,"queries_total_sec":$queriesTotal%.1f,"rounds":$roundsCompleted,"ladder":[{"cores":$coresLow,"wall_sec":$wallLow%.2f,"turns_per_sec":$tputLow%.1f,"cpu_us_per_turn":$cpuPerTurnLow%.1f},{"cores":$coresN,"wall_sec":$wallN%.2f,"turns_per_sec":$tputN%.1f,"cpu_us_per_turn":$cpuPerTurnN%.1f},{"cores":$cores4N,"wall_sec":$wall4N%.2f,"turns_per_sec":$tput4N%.1f,"cpu_us_per_turn":$cpuPerTurn4N%.1f}],"n":$coresLow,"4n":$coresN,"wall_efficiency_n_to_4n":$effPrimary%.3f,"wall_efficiency_4n_to_16n":$effHigh%.3f,"cpu_work_conservation_n_to_4n":$consPrimary%.3f,"cpu_work_conservation_4n_to_16n":$consHigh%.3f,"ceiling_16n":${jnum(ceiling16n)},"rel_16n":${jnum(rel16n)},"per_round_eff":${roundArr(_.eff)},"per_round_cpu_ceiling":${roundArr(_.cpuCeil)},"per_round_dram_ceiling":${roundArr(_.dramCeil)},"kernel_ceiling_n_to_4n":${jnum(kernelCeiling)},"dram_ceiling_n_to_4n":${jnum(dramCeiling)},"ceiling_relative_n_to_4n":${jnum(ceilingRelative)},"min_ceiling_relative_n_to_4n":${jnum(minCeilingRelative)},"passes_per_level":$passesPerLevel}"""
     // the driver's tail window is bounded: if the per-round arrays ever push
     // the line past 1 KB, drop them (they are duplicated in BENCH.md)
     println(

@@ -68,8 +68,13 @@ object Main {
       s"unknown queries: ${unknown.mkString(", ")} — use --query list")
     names.map { name =>
       val df = all(name)(spark, sfDir)
-      df.write.mode("overwrite").parquet(s"$outDir/$name")
-      name -> spark.read.parquet(s"$outDir/$name").count()
+      // row count rides the WRITE job as an observed metric — one action,
+      // one scan; re-reading the written output would double the IO just
+      // to print a count
+      val obs = org.apache.spark.sql.Observation(s"graft_rows_$name")
+      df.observe(obs, count(lit(1)).as("rows"))
+        .write.mode("overwrite").parquet(s"$outDir/$name")
+      name -> obs.get("rows").asInstanceOf[Long]
     }
   }
 

@@ -127,6 +127,49 @@ object Plans {
       ("Corpus datasheet (per source x language)",
         "ONE map-side-combined groupBy; integer signals only",
         fmt(TextAnalysis.corpusStats(doc))),
+      ("Incremental (ingestion-time) dedup",
+        "the EXISTING corpus's artifacts (content hash + guarded band keys) are built in ONE scan and eagerly checkpointed (Scan ExistingRDD below — production: prebuilt catalog tables via incrementalDedupWith); incoming computes its signature once; three shuffled equi-joins (hash, bands, id anti-join), no cartesian",
+        {
+          val base = doc.select(col("doc_id"), col("text"))
+          fmt(Dedup.incrementalDedup(
+            base.filter(org.apache.spark.sql.functions.pmod(col("doc_id"),
+              org.apache.spark.sql.functions.lit(3L)) =!= 0),
+            base.filter(org.apache.spark.sql.functions.pmod(col("doc_id"),
+              org.apache.spark.sql.functions.lit(3L)) === 0)))
+        }),
+      ("Incremental dedup against PREBUILT artifacts (the streaming static sides)",
+        "incrementalDedupWith over an existing artifact table — the exact static-side shape dedup_incremental_stream joins per micro-batch (stream-static, stateless); artifact reads are LogicalRDD scans, only the incoming side evaluates minhash16",
+        {
+          val base = doc.select(col("doc_id"), col("text"))
+          val art = Dedup.corpusArtifacts(
+            base.filter(org.apache.spark.sql.functions.pmod(col("doc_id"),
+              org.apache.spark.sql.functions.lit(3L)) =!= 0))
+          fmt(Dedup.incrementalDedupWith(art,
+            base.filter(org.apache.spark.sql.functions.pmod(col("doc_id"),
+              org.apache.spark.sql.functions.lit(3L)) === 0)))
+        }),
+      ("URL canonicalization + URL-level dedup",
+        "url_canonical is a pure codegen'd native expression (zero Exchange in the projection); URL dedup is ONE hash shuffle on the canonical key with map-side partial agg",
+        {
+          import org.apache.spark.sql.functions.{concat, expr, lit, count, min, pmod, when}
+          val url = concat(lit("https://EXAMPLE.com/page/"),
+            expr("CAST(doc_id DIV 2 AS LONG)"),
+            when(pmod(col("doc_id"), lit(2)) === 0, lit("/"))
+              .otherwise(lit("?utm_source=x")))
+          fmt(doc.select(col("doc_id"),
+              graft.spark.HashFunctions.urlCanonical(url).as("canonical"))
+            .groupBy("canonical")
+            .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("keep_doc_id")))
+        }),
+      ("Deterministic corpus shuffle (terasort shape)",
+        "salt-keyed hash rank -> ONE range/hash Exchange -> shard-local rank window; epoch changes reshuffle by changing only the salt",
+        fmt(Sampling.shuffleOrder(doc))),
+      ("Conversation-level curation (conv_filter)",
+        "ONE partial-agg groupBy(conv_id) builds the per-conversation keep-set (single-turn + tool-share rules, stratum payload), then one equi-join back to the turns — no window, no second corpus shuffle",
+        fmt(Transcripts.convFilter(Transcripts.withInjectedConvAnomalies(t)))),
+      ("Trained-quantizer SemDeDup (k-means-trained centroids)",
+        "identical plan family to the first-K SemDeDup — training happens UPSTREAM as iterated kmeansStepWith rounds (each: zero-Exchange assignment map + O(cells) shuffle + a cells-x-dims driver fetch); the trained table inlines as plan literals, so scoring/pairing shapes are unchanged",
+        fmt(Dedup.semanticDedupTrained(emb))),
       ("Composed data-prep pipeline (decontaminate -> split -> budget -> chunk -> report)",
         "the decontaminated corpus is materialized ONCE (localCheckpoint -> LogicalRDD; three consumers, zero decontam re-runs), then: narrow hash maps (split + budget priority), ONE window Exchange (sharded budget), narrow chunking, one partial-agg groupBy per report stage — each stage its standalone operator's scale shape",
         {

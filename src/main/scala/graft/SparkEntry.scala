@@ -43,6 +43,14 @@ object SparkEntry {
       Transcripts.convStats(Transcripts.fromDocuments(s, dir))
         .orderBy("conv_id")),
 
+    // conversation-level curation over the anomaly-injected transcripts:
+    // drop single-turn convs + runaway all-tool loops, stratify survivors
+    // by tool share (one groupBy keep-set + one equi-join back)
+    "conv_filter" -> ((s, dir) =>
+      Transcripts.convFilter(
+          Transcripts.withInjectedConvAnomalies(Transcripts.fromDocuments(s, dir)))
+        .orderBy("conv_id", "turn_idx", "role")),
+
     "o11_extract_html" -> ((s, dir) => {
       import s.implicits._
       Transcripts.documents(s, dir)
@@ -225,7 +233,7 @@ object SparkEntry {
     // crawl-URL canonicalization (the URL-dedup key) via the native
     // codegen'd UrlCanonical expression over deterministic URL variants
     "url_canonical" -> ((s, dir) => {
-      val cls = pmod(col("doc_id"), lit(5))
+      val cls = pmod(col("doc_id"), lit(8))
       Transcripts.documents(s, dir).select(col("doc_id"),
           when(cls === 0,
             concat(lit("https://EXAMPLE.com/docs/"), col("doc_id"), lit("/")))
@@ -236,9 +244,23 @@ object SparkEntry {
             concat(lit("https://Example.COM:8443/x/"), col("doc_id"), lit("#frag")))
           .when(cls === 3,
             concat(lit("ftp://files.example.com/"), col("doc_id")))
-          .otherwise(
+          .when(cls === 4,
             concat(lit("https://user:Pw@example.com/p/"), col("doc_id"),
               lit("/?fbclid=abc")))
+          // percent-encoding normalization: reserved escape uppercased,
+          // unreserved escape decoded, in path and query
+          .when(cls === 5,
+            concat(lit("https://example.com/a%2fb/%7Euser/"), col("doc_id"),
+              lit("?x=%41%3d")))
+          // duplicate-slash collapse + param sort + KEY-boundary tracking
+          // match (fbclident is not fbclid)
+          .when(cls === 6,
+            concat(lit("http://example.com//a//b/"), col("doc_id"),
+              lit("?b=2&a=1&fbclident=1")))
+          // utm (no underscore) survives; utm_source drops; survivors sort
+          .otherwise(
+            concat(lit("https://example.com/u/"), col("doc_id"),
+              lit("?utm=keep&utm_source=drop&q=1")))
           .as("url"))
         .select(col("doc_id"), col("url"),
           graft.spark.HashFunctions.urlCanonical(col("url")).as("canonical"))
@@ -532,6 +554,36 @@ object SparkEntry {
            |  CAST(epoch(max(ts)) - epoch(min(ts)) AS BIGINT) AS span_sec
            |FROM t GROUP BY conv_id ORDER BY conv_id""".stripMargin,
 
+      "conv_filter" ->
+        s"""WITH t0 AS (
+           |  SELECT
+           |    'conv-' || lpad(CAST(doc_id % ${Transcripts.Conversations} AS VARCHAR), 4, '0') AS conv_id,
+           |    CAST(doc_id // ${Transcripts.Conversations} AS INTEGER) AS turn_idx,
+           |    CASE WHEN doc_id % 3 = 0 THEN 'user'
+           |         WHEN doc_id % 3 = 1 THEN 'assistant' ELSE 'tool' END AS role
+           |  FROM documents),
+           |t AS (
+           |  SELECT conv_id, turn_idx, role FROM t0
+           |  UNION ALL
+           |  SELECT 'solo-' || conv_id || '-' || CAST(turn_idx AS VARCHAR),
+           |    CAST(0 AS INTEGER), role FROM t0 WHERE turn_idx % 7 = 3
+           |  UNION ALL
+           |  SELECT 'loop-' || conv_id, turn_idx, 'tool' FROM t0
+           |  WHERE turn_idx % 5 = 1),
+           |k AS (
+           |  SELECT conv_id,
+           |    CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS DOUBLE)
+           |      / count(*) AS ts
+           |  FROM t GROUP BY conv_id
+           |  HAVING count(*) >= 2
+           |    AND CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS DOUBLE)
+           |      / count(*) <= 0.8)
+           |SELECT t.conv_id, t.turn_idx, t.role,
+           |  CASE WHEN k.ts < 0.25 THEN 'low'
+           |       WHEN k.ts < 0.5 THEN 'mid' ELSE 'high' END AS stratum
+           |FROM t JOIN k ON t.conv_id = k.conv_id
+           |ORDER BY t.conv_id, turn_idx, role""".stripMargin,
+
       "o11_extract_html" ->
         "SELECT doc_id, text FROM documents ORDER BY doc_id",
 
@@ -660,19 +712,25 @@ object SparkEntry {
         // (same doc_id interpolation); the algorithm's edge cases are
         // pinned by the Urls.canonicalize unit tests
         """SELECT doc_id,
-          |  CASE doc_id % 5
+          |  CASE doc_id % 8
           |    WHEN 0 THEN 'https://EXAMPLE.com/docs/' || doc_id || '/'
           |    WHEN 1 THEN 'http://example.com:80/a/' || doc_id || '?utm_source=feed&q=' || doc_id
           |    WHEN 2 THEN 'https://Example.COM:8443/x/' || doc_id || '#frag'
           |    WHEN 3 THEN 'ftp://files.example.com/' || doc_id
-          |    ELSE 'https://user:Pw@example.com/p/' || doc_id || '/?fbclid=abc'
+          |    WHEN 4 THEN 'https://user:Pw@example.com/p/' || doc_id || '/?fbclid=abc'
+          |    WHEN 5 THEN 'https://example.com/a%2fb/%7Euser/' || doc_id || '?x=%41%3d'
+          |    WHEN 6 THEN 'http://example.com//a//b/' || doc_id || '?b=2&a=1&fbclident=1'
+          |    ELSE 'https://example.com/u/' || doc_id || '?utm=keep&utm_source=drop&q=1'
           |  END AS url,
-          |  CASE doc_id % 5
+          |  CASE doc_id % 8
           |    WHEN 0 THEN 'https://example.com/docs/' || doc_id
           |    WHEN 1 THEN 'http://example.com/a/' || doc_id || '?q=' || doc_id
           |    WHEN 2 THEN 'https://example.com:8443/x/' || doc_id
           |    WHEN 3 THEN 'ftp://files.example.com/' || doc_id
-          |    ELSE 'https://user:Pw@example.com/p/' || doc_id
+          |    WHEN 4 THEN 'https://user:Pw@example.com/p/' || doc_id
+          |    WHEN 5 THEN 'https://example.com/a%2Fb/~user/' || doc_id || '?x=A%3D'
+          |    WHEN 6 THEN 'http://example.com/a/b/' || doc_id || '?a=1&b=2&fbclident=1'
+          |    ELSE 'https://example.com/u/' || doc_id || '?q=1&utm=keep'
           |  END AS canonical
           |FROM documents ORDER BY doc_id""".stripMargin,
 

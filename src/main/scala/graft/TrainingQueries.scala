@@ -577,17 +577,24 @@ object TrainingQueries {
          |FROM clusters ORDER BY doc_id""".stripMargin,
 
     "dedup_cluster_keep" ->
-      // the cluster fixpoint + per-doc source priority (injected +1000000
-      // copies inherit their original's source via mod) + a per-cluster
-      // row_number on (priority DESC, doc_id ASC)
+      // the cluster fixpoint + per-doc source priority (the priority table
+      // is INJECTED exactly like the corpus, so +1000000 copies inherit
+      // their original's priority via a direct doc_id join — no id-
+      // magnitude assumption) + a per-cluster row_number on
+      // (priority DESC, doc_id ASC)
       s"""WITH RECURSIVE $duckVerifiedPairCtes,
          |$duckClusterCtes,
-         |prio AS (
+         |prio0 AS (
          |  SELECT doc_id, CAST(substr(source, 4, 6) AS INTEGER) % 3 AS priority
          |  FROM documents),
+         |prio AS (
+         |  SELECT doc_id, priority FROM prio0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, priority FROM prio0
+         |  WHERE doc_id % 4 = 0),
          |m AS (
          |  SELECT c.id AS doc_id, c.cluster_id, p.priority
-         |  FROM clusters c JOIN prio p ON p.doc_id = c.id % 1000000),
+         |  FROM clusters c JOIN prio p ON p.doc_id = c.id),
          |r AS (
          |  SELECT *, row_number() OVER (
          |    PARTITION BY cluster_id ORDER BY priority DESC, doc_id) AS rn

@@ -67,13 +67,18 @@ object Urls {
   /** Crawl-style URL canonicalization — the dedup-key normalization every
     * web corpus applies before URL-level dedup (RFC 3986 §6 syntax-based
     * normalization plus the crawl conventions): lowercase scheme and host,
-    * strip the fragment, strip the default port (80/443), strip trailing
-    * path slashes, and drop tracking query params (`utm_*`, `fbclid`) while
-    * preserving the remaining params in order. Non-http(s) or
-    * authority-less inputs are returned UNCHANGED (canonicalization must
-    * be total on crawl garbage). Userinfo is preserved verbatim —
-    * log-safety is [[stripPassword]]'s job; compose the two for output.
-    * Pure and deterministic: the columnar form
+    * strip the fragment, strip the default port (80/443), collapse
+    * duplicate path slashes, strip trailing path slashes, normalize
+    * percent-encoding (§6.2.2: uppercase hex digits, decode escapes of
+    * UNRESERVED characters — ALPHA / DIGIT / `-._~`) in path and query,
+    * drop tracking query params (key exactly `fbclid` or key prefix
+    * `utm_` — matched on the KEY, so `fbclident=1` is a distinct,
+    * preserved param), and SORT the surviving params (crawl dedup keys
+    * are order-insensitive: `?a=1&b=2` and `?b=2&a=1` are the same page).
+    * Non-http(s) or authority-less inputs are returned UNCHANGED
+    * (canonicalization must be total on crawl garbage). Userinfo is
+    * preserved verbatim — log-safety is [[stripPassword]]'s job; compose
+    * the two for output. Pure and deterministic: the columnar form
     * ([[graft.spark.HashFunctions.urlCanonical]]) wraps exactly this
     * function, so the unit-tested edge cases ARE the cluster semantics.
     */
@@ -105,14 +110,59 @@ object Urls {
     val qi = tail.indexOf('?')
     var path = if (qi >= 0) tail.substring(0, qi) else tail
     val query = if (qi >= 0) tail.substring(qi + 1) else null
+    path = normPercent(path.replaceAll("/{2,}", "/"))
     while (path.endsWith("/")) path = path.substring(0, path.length - 1)
     val keptQuery =
       if (query == null) ""
       else {
-        val kept = query.split("&", -1).filter(p =>
-          p.nonEmpty && !p.startsWith("utm_") && !p.startsWith("fbclid"))
+        val kept = query.split("&", -1).iterator
+          .filter(_.nonEmpty)
+          .map(normPercent)
+          .filter { p =>
+            val eq = p.indexOf('=')
+            val key = if (eq >= 0) p.substring(0, eq) else p
+            key != "fbclid" && !key.startsWith("utm_")
+          }
+          .toArray.sorted
         if (kept.isEmpty) "" else "?" + kept.mkString("&")
       }
     scheme + "://" + userinfo + host.toLowerCase + portPart + path + keptQuery
+  }
+
+  /** RFC 3986 §6.2.2 percent-encoding normalization of one URI component:
+    * hex digits of every escape are UPPERCASED, and escapes of UNRESERVED
+    * characters (ALPHA / DIGIT / `-._~`) are decoded — two spellings of
+    * the same page must not survive as two dedup keys. Malformed escapes
+    * (truncated, non-hex) pass through verbatim (total on crawl garbage).
+    */
+  private def normPercent(s: String): String = {
+    def hex(c: Char): Int =
+      if (c >= '0' && c <= '9') c - '0'
+      else if (c >= 'a' && c <= 'f') c - 'a' + 10
+      else if (c >= 'A' && c <= 'F') c - 'A' + 10
+      else -1
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+        hex(s.charAt(i + 1)) >= 0 && hex(s.charAt(i + 2)) >= 0) {
+        val v = (hex(s.charAt(i + 1)) << 4) | hex(s.charAt(i + 2))
+        val ch = v.toChar
+        val unreserved = (ch >= 'A' && ch <= 'Z') || (ch >= 'a' && ch <= 'z') ||
+          (ch >= '0' && ch <= '9') || ch == '-' || ch == '.' || ch == '_' || ch == '~'
+        if (unreserved) sb.append(ch)
+        else {
+          sb.append('%')
+          sb.append(Character.toUpperCase(s.charAt(i + 1)))
+          sb.append(Character.toUpperCase(s.charAt(i + 2)))
+        }
+        i += 3
+      } else {
+        sb.append(c)
+        i += 1
+      }
+    }
+    sb.toString
   }
 }

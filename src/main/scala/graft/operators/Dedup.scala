@@ -297,17 +297,58 @@ object Dedup {
     * equi-joins (hash, bands, id anti-join) — no self-pairing, no
     * cartesian; the existing side streams from its materialized tables.
     */
-  def incrementalDedup(existing: DataFrame, incoming: DataFrame): DataFrame = {
+  def incrementalDedup(existing: DataFrame, incoming: DataFrame): DataFrame =
+    incrementalDedupWith(corpusArtifacts(existing), incoming)
+
+  /** One-pass `(doc_id, h, band0..bandN-1)` projection: the content hash
+    * and the minhash band keys computed together in a single narrow map —
+    * the shape both incremental-dedup artifact builds share. Band columns
+    * are GUARDED: a doc too short to shingle gets genuinely NULL bands
+    * (`when(mh.isNotNull, ...)` — `concat_ws` alone skips NULL elements,
+    * so every short doc's bands would silently become `md5('')`, one
+    * shared non-null constant that could spuriously collide).
+    */
+  private[graft] def hashAndBands(df: DataFrame, keep: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val mh = when(size(split(col("text"), " ")) >= 3,
+      graft.spark.HashFunctions.minHash16(shingles(col("text"))))
+    val bandCols = (0 until minhashBandCount).map { b =>
+      val rows = (0 until minhashRowsPerBand)
+        .map(r => element_at(col("mh"), b * minhashRowsPerBand + r + 1).cast("string"))
+      when(col("mh").isNotNull, md5(concat_ws("_", rows: _*))).as(s"band$b")
+    }
+    df.withColumn("mh", mh)
+      .select((keep :+ md5(col("text")).as("h")) ++ bandCols: _*)
+  }
+
+  /** The EXISTING corpus's dedup artifacts — its content-hash table and
+    * minhash band keys, one row per doc — computed in ONE scan (the
+    * [[hashAndBands]] projection) and eagerly materialized
+    * (localCheckpoint; production: the persisted catalog tables the corpus
+    * maintains and appends per ingest — pass a table read straight to
+    * [[incrementalDedupWith]] instead and no scan happens at all). Before
+    * this, [[incrementalDedup]] scanned the existing corpus twice: once
+    * for hashes, once for the shingle/minhash signature — at 100 TB the
+    * second full-corpus pass is the dominant cost of an ingest batch.
+    */
+  def corpusArtifacts(existing: DataFrame): DataFrame =
+    hashAndBands(existing, Seq(col("doc_id"))).localCheckpoint(true)
+
+  /** [[incrementalDedup]] against prebuilt artifacts (see
+    * [[corpusArtifacts]] for the table shape). NULL band values (short
+    * docs) are dropped from the bucket table — they match nothing.
+    */
+  def incrementalDedupWith(artifacts: DataFrame, incoming: DataFrame): DataFrame = {
     val bandCols = (0 until minhashBandCount).map(b => col(s"band$b"))
-    def bandKeys(df: DataFrame) = minhashSignature(df)
-      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
-    val existingHashes = existing.select(md5(col("text")).as("h")).distinct()
-    val existingBands = bandKeys(existing)
-      .select("band_idx", "band_val").distinct()
+    val existingHashes = artifacts.select("h").distinct()
+    val existingBands = artifacts
+      .select(posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
+      .filter(col("band_val").isNotNull)
+      .distinct()
     val exactDups = incoming.select(col("doc_id"), md5(col("text")).as("h"))
       .join(existingHashes, Seq("h"))
       .select("doc_id")
-    val nearDups = bandKeys(incoming)
+    val nearDups = minhashSignature(incoming)
+      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
       .join(existingBands, Seq("band_idx", "band_val"))
       .select("doc_id").distinct()
     incoming.join(exactDups.unionAll(nearDups).distinct(), Seq("doc_id"), "left_anti")
@@ -338,13 +379,14 @@ object Dedup {
   ): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types._
-    // the existing corpus's materialized artifacts (static sides)
-    val hashes = existing.select(md5(col("text")).as("h")).distinct()
-      .withColumn("hit_exact", lit(1))
-    val sig = minhashSignature(existing)
+    // the existing corpus's materialized artifacts (static sides): ONE
+    // scan via corpusArtifacts feeds the hash table and all band buckets
+    val art = corpusArtifacts(existing)
+    val hashes = art.select("h").distinct().withColumn("hit_exact", lit(1))
     val buckets = (0 until minhashBandCount).map { b =>
-      sig.select(col(s"band$b").as(s"sband$b")).distinct()
-        .withColumn(s"hit$b", lit(1))
+      art.select(col(s"band$b").as(s"sband$b"))
+        .filter(col(s"sband$b").isNotNull)
+        .distinct().withColumn(s"hit$b", lit(1))
     }
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
@@ -352,18 +394,12 @@ object Dedup {
     val stream = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
       .parquet(in)
-    // narrow signature on the stream: same native kernels; short docs get
-    // null bands (null never equi-joins -> no near match)
-    val mh = when(size(split(col("text"), " ")) >= 3,
-      graft.spark.HashFunctions.minHash16(shingles(col("text"))))
-    val bandCols = (0 until minhashBandCount).map { b =>
-      val rows = (0 until minhashRowsPerBand)
-        .map(r => element_at(col("mh"), b * minhashRowsPerBand + r + 1).cast("string"))
-      md5(concat_ws("_", rows: _*)).as(s"band$b")
-    }
-    val withSig = stream
-      .withColumn("mh", mh)
-      .select((Seq(col("doc_id"), col("text"), md5(col("text")).as("h")) ++ bandCols): _*)
+    // narrow signature on the stream: the same guarded hashAndBands
+    // projection as the artifact build — short docs get GENUINELY NULL
+    // bands (null never equi-joins -> no near match; the guard matters
+    // because concat_ws skips NULL elements, which would otherwise fold
+    // every short doc's bands to the shared md5('') constant)
+    val withSig = hashAndBands(stream, Seq(col("doc_id"), col("text")))
     val checked = buckets.zipWithIndex.foldLeft(
       withSig.join(broadcast(hashes), Seq("h"), "left_outer")) {
       case (acc, (bk, b)) =>
@@ -547,15 +583,36 @@ object Dedup {
     * quasi-cliques of near-dups (small by construction), so no partition
     * exceeds the cluster-size bound the pairing caps already enforce.
     */
-  def clusterKeep(doc: DataFrame): DataFrame = {
+  def clusterKeep(doc: DataFrame): DataFrame =
+    clusterKeepFrom(doc,
+      doc.select(col("doc_id"), sourcePriority.cast("int").as("priority")))
+
+  /** [[clusterKeep]] with a real `(source, priority)` preference TABLE —
+    * the documented drop-in for the expression stand-in: the table is tiny
+    * (one row per source) and BROADCAST-joined to the corpus, so the
+    * priority lookup costs one map-side hash probe per doc, no shuffle.
+    */
+  def clusterKeepWith(doc: DataFrame, pref: DataFrame): DataFrame =
+    clusterKeepFrom(doc,
+      doc.join(broadcast(pref), Seq("source"))
+        .select(col("doc_id"), col("priority").cast("int").as("priority")))
+
+  /** The retention core over a prebuilt per-doc `(doc_id, priority)` table.
+    * Injected +1000000 dup copies inherit their original's priority by
+    * INJECTING the priority table the same way [[withInjectedDups]] injects
+    * the corpus — a direct doc_id equi-join, with no assumption about id
+    * magnitudes (the previous `pmod(doc_id, 1000000)` recovery silently
+    * mis-attributed priorities on any corpus with real ids >= 1,000,000).
+    */
+  private def clusterKeepFrom(doc: DataFrame, prioBase: DataFrame): DataFrame = {
     val clusters = dupClusters(doc)
-    val prio = doc.select(col("doc_id").as("orig_id"),
-      sourcePriority.cast("int").as("priority"))
+    val prio = prioBase.unionAll(
+      prioBase.filter(pmod(col("doc_id"), lit(4)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("priority")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("cluster_id").orderBy(col("priority").desc, col("doc_id").asc)
     clusters
-      .withColumn("orig_id", pmod(col("doc_id"), lit(1000000L)))
-      .join(prio, Seq("orig_id"))
+      .join(prio, Seq("doc_id"))
       .withColumn("rn", row_number().over(w))
       .select(col("doc_id"), col("cluster_id"), col("priority"),
         (col("rn") === 1).as("keep"))

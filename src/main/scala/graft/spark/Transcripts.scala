@@ -136,4 +136,54 @@ object Transcripts {
       max(col("turn_idx")).cast("int").as("last_turn"),
       (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
         .cast("long").as("span_sec"))
+
+  /** Injected conversation anomalies for [[convFilter]] (the
+    * [[graft.operators.Dedup.withInjectedDups]] precedent — deterministic
+    * positives so the filter rules have guaranteed work at every scale):
+    *   - SOLO conversations: every turn with `turn_idx % 7 = 3` also
+    *     becomes its own single-turn conversation (`solo-<conv>-<idx>`);
+    *   - runaway agent LOOPS: every turn with `turn_idx % 5 = 1` is
+    *     replayed into an all-tool conversation (`loop-<conv>`), whose
+    *     tool share is 1.0 by construction.
+    * Pure narrow unions — SQL-twin-exact.
+    */
+  def withInjectedConvAnomalies(t: DataFrame): DataFrame = {
+    val base = t.select(col("conv_id"), col("turn_idx"), col("role"))
+    base
+      .unionAll(base.filter(pmod(col("turn_idx"), lit(7)) === 3)
+        .select(concat(lit("solo-"), col("conv_id"), lit("-"), col("turn_idx")).as("conv_id"),
+          lit(0).cast("int").as("turn_idx"), col("role")))
+      .unionAll(base.filter(pmod(col("turn_idx"), lit(5)) === 1)
+        .select(concat(lit("loop-"), col("conv_id")).as("conv_id"),
+          col("turn_idx"), lit("tool").as("role")))
+  }
+
+  /** Conversation-level curation — the follow-on [[convStats]] exists for:
+    *   1. drop SINGLE-TURN conversations (< `minTurns` turns carry no
+    *      conversational signal);
+    *   2. drop runaway AGENT LOOPS (tool share above `maxToolShare`: a
+    *      conversation that is almost all tool traffic is an agent stuck
+    *      in a call loop, not dialogue);
+    *   3. STRATIFY survivors by tool share (`low` < 0.25 <= `mid` < 0.5
+    *      <= `high`) — the mixture key downstream samplers balance on.
+    * Plan shape: ONE partial-agg groupBy(conv_id) builds the per-conv
+    * keep-set (tiny: one row per conversation), then one equi-join back
+    * to the turns — the semi-join-with-payload form; no window, no
+    * second corpus shuffle. At 10^12 turns the keep-set is O(convs) and
+    * the join shuffles on the same conv_id key the stats did.
+    */
+  def convFilter(t: DataFrame, minTurns: Int = 2, maxToolShare: Double = 0.8): DataFrame = {
+    val keep = t.groupBy("conv_id")
+      .agg(count(lit(1)).as("n_turns"),
+        sum(when(col("role") === "tool", 1L).otherwise(0L)).as("n_tool"))
+      .withColumn("tool_share",
+        col("n_tool").cast("double") / col("n_turns").cast("double"))
+      .filter(col("n_turns") >= minTurns && col("tool_share") <= maxToolShare)
+      .select(col("conv_id"),
+        when(col("tool_share") < 0.25, "low")
+          .when(col("tool_share") < 0.5, "mid")
+          .otherwise("high").as("stratum"))
+    t.select(col("conv_id"), col("turn_idx"), col("role"))
+      .join(keep, Seq("conv_id"))
+  }
 }

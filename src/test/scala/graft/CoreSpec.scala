@@ -399,11 +399,24 @@ class CoreSpec extends AnyFunSuite {
     // path case is PRESERVED (paths are case-sensitive per RFC 3986)
     assert(canonicalize("https://A.com/CaseSensitive") ==
       "https://a.com/CaseSensitive")
-    // tracking params dropped, others kept in order; empty query dropped
+    // tracking params dropped, survivors SORTED; empty query dropped
     assert(canonicalize("https://a.com/x?utm_source=f&b=2&utm_medium=m&a=1") ==
-      "https://a.com/x?b=2&a=1")
+      "https://a.com/x?a=1&b=2")
     assert(canonicalize("https://a.com/x?utm_source=f&fbclid=z") ==
       "https://a.com/x")
+    // tracking-param match is on the KEY: 'fbclident' and 'utm' (no
+    // underscore) are distinct params and survive
+    assert(canonicalize("https://a.com/x?fbclident=1&utm=keep&utm_x=drop&fbclid=z") ==
+      "https://a.com/x?fbclident=1&utm=keep")
+    // duplicate path slashes collapse (interior AND leading runs)
+    assert(canonicalize("http://a.com//p///q/") == "http://a.com/p/q")
+    // percent-encoding normalization (RFC 3986 6.2.2): hex uppercased for
+    // reserved escapes, unreserved escapes decoded — in path and query
+    assert(canonicalize("https://a.com/a%2fb/%7Euser?x=%41%3d") ==
+      "https://a.com/a%2Fb/~user?x=A%3D")
+    // malformed escapes pass through verbatim (total on crawl garbage)
+    assert(canonicalize("https://a.com/p%2") == "https://a.com/p%2")
+    assert(canonicalize("https://a.com/p%zz") == "https://a.com/p%zz")
     // fragment stripped even when it contains a '?'
     assert(canonicalize("https://a.com/p#f?notaquery") == "https://a.com/p")
     // userinfo preserved (stripPassword composes for log-safe output)

@@ -1371,6 +1371,46 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange"), s"plan:\n$plan")
   }
 
+  test("conv_filter: drops solo convs and tool loops, stratifies survivors by tool share") {
+    import spark.implicits._
+    val t = Seq(
+      ("dialog", 0, "user"), ("dialog", 1, "assistant"), ("dialog", 2, "user"),
+      ("dialog", 3, "assistant"),                              // share 0.0 -> low
+      ("mixed", 0, "user"), ("mixed", 1, "tool"), ("mixed", 2, "assistant"),
+      ("mixed", 3, "tool"), ("mixed", 4, "user"), ("mixed", 5, "tool"),  // 0.5 -> high
+      ("agent", 0, "user"), ("agent", 1, "tool"), ("agent", 2, "assistant"), // 1/3 -> mid
+      ("solo", 0, "user"),                                     // single turn -> dropped
+      ("loop", 0, "tool"), ("loop", 1, "tool"), ("loop", 2, "tool") // share 1.0 -> dropped
+    ).toDF("conv_id", "turn_idx", "role")
+    val out = graft.spark.Transcripts.convFilter(t)
+      .select("conv_id", "stratum").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(out == Map("dialog" -> "low", "agent" -> "mid", "mixed" -> "high"))
+    // every surviving turn is retained, none invented
+    assert(graft.spark.Transcripts.convFilter(t).count() == 4 + 6 + 3)
+    // the anomaly injector really builds the pathologies the rules target
+    val injected = graft.spark.Transcripts.withInjectedConvAnomalies(
+      t.withColumn("turn_idx", col("turn_idx").cast("int")))
+    val solo = injected.filter(col("conv_id").startsWith("solo-"))
+    assert(solo.groupBy("conv_id").count().filter(col("count") > 1).count() == 0)
+    val loops = injected.filter(col("conv_id").startsWith("loop-"))
+    assert(loops.filter(col("role") =!= "tool").count() == 0)
+  }
+
+  test("dedup: clusterKeep preference-TABLE variant broadcast-joins, matches the expression form") {
+    import graft.operators.Dedup
+    val doc = Transcripts.documents(spark, sfDir)
+    // the equivalent preference table: one row per source, the expression's
+    // rank — swapping representation must not change a single verdict
+    val pref = doc.select(col("source")).distinct()
+      .withColumn("priority", Dedup.sourcePriority.cast("int"))
+    val a = Dedup.clusterKeep(doc).orderBy("doc_id").collect().toSeq
+    val b = Dedup.clusterKeepWith(doc, pref).orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    val plan = Dedup.clusterKeepWith(doc, pref).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast priority join in:\n$plan")
+  }
+
   test("dedup: incremental ingest drops exact and band-matching incoming docs") {
     import graft.operators.Dedup
     import spark.implicits._
@@ -1396,6 +1436,40 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"plan:\n$plan")
+  }
+
+  test("dedup: incremental ingest scans the EXISTING corpus once (shared artifacts)") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val longA = (1 to 40).map(i => s"alpha$i").mkString(" ")
+    val existing = Seq((1L, longA), (2L, "tiny doc")).toDF("doc_id", "text")
+    val incoming = Seq((10L, longA), (11L, "tiny doc"), (12L, "fresh new doc content here okay"))
+      .toDF("doc_id", "text")
+    // corpusArtifacts is an eager localCheckpoint: the operator's returned
+    // plan reads the existing side as an in-memory LogicalRDD, so the
+    // expensive signature (minhash16) never re-evaluates downstream — the
+    // only minhash16 in the composed plan is the INCOMING side's
+    // (parquet-backed inputs here: literal Seqs constant-fold into
+    // LocalTableScan and would hide the kernel from the plan string)
+    val doc = Transcripts.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val plan = Dedup.incrementalDedup(
+        doc.filter(pmod(col("doc_id"), lit(3)) =!= 0),
+        doc.filter(pmod(col("doc_id"), lit(3)) === 0))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"), s"no checkpointed artifact scan in:\n$plan")
+    val n = "minhash16\\(".r.findAllIn(plan).length
+    assert(n == 1, s"expected exactly 1 minhash16 eval (incoming side), got $n:\n$plan")
+    // artifacts carry GUARDED bands: a too-short-to-shingle doc has NULL
+    // band keys, never the md5('') constant concat_ws alone would produce
+    val art = Dedup.corpusArtifacts(existing)
+    val shortRow = art.filter(col("doc_id") === 2L).collect()(0)
+    (0 until Dedup.minhashBandCount).foreach { b =>
+      assert(shortRow.isNullAt(shortRow.fieldIndex(s"band$b")), s"band$b not null for short doc")
+    }
+    // prebuilt artifacts (the 100 TB catalog-table path) give identical results
+    val viaArt = Dedup.incrementalDedupWith(art, incoming)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaArt == Set(12L), s"kept $viaArt")
   }
 
   test("dedup: window fingerprints catch verbatim runs across different docs") {
