@@ -164,6 +164,24 @@ object Plans {
       ("Deterministic corpus shuffle (terasort shape)",
         "salt-keyed hash rank -> ONE range/hash Exchange -> shard-local rank window; epoch changes reshuffle by changing only the salt",
         fmt(Sampling.shuffleOrder(doc))),
+      ("Bloom-screened incremental dedup (probe projection)",
+        "ONE might_contain over an array of guarded probe values (exists HOF): one filter literal in the plan regardless of probe count — the screen a 100 TB ingest runs before any join reaches the shuffle (dossier uses a 64-item filter so the literal stays readable; the operator's default is corpus-sized)",
+        {
+          val base = doc.select(col("doc_id"), col("text"))
+          val art = Dedup.corpusArtifacts(
+            base.filter(org.apache.spark.sql.functions.pmod(col("doc_id"),
+              org.apache.spark.sql.functions.lit(3L)) =!= 0))
+          fmt(Dedup.hashAndBands(base, Seq(col("doc_id")))
+            .withColumn("bloom_cand",
+              Dedup.bloomCandidate(Dedup.corpusBloom(art, expectedItems = 64))))
+        }),
+      ("Trained classifier scoring (distilled weights as plan literals)",
+        "training is ONE tiny-key groupBy (explode tokens -> <=64 buckets, map-side partial agg) + a 64-row collect; scoring inlines the trained weights and stays the untrained classifier's zero-Exchange narrow map",
+        fmt(TextAnalysis.classifierScoreTrained(doc,
+          TextAnalysis.trainClassifier(doc)))),
+      ("Runaway-loop capping (conv_cap)",
+        "the tiny per-conv verdict table BROADCASTS back onto the turns (no corpus shuffle for the join); the corpus pays exactly ONE Exchange — the conv_id partitioning the row_number window needs; only runaway convs lose rows",
+        fmt(Transcripts.convCap(Transcripts.withInjectedConvAnomalies(t)))),
       ("Conversation-level curation (conv_filter)",
         "ONE partial-agg groupBy(conv_id) builds the per-conversation keep-set (single-turn + tool-share rules, stratum payload), then one equi-join back to the turns — no window, no second corpus shuffle",
         fmt(Transcripts.convFilter(Transcripts.withInjectedConvAnomalies(t)))),

@@ -51,6 +51,13 @@ object SparkEntry {
           Transcripts.withInjectedConvAnomalies(Transcripts.fromDocuments(s, dir)))
         .orderBy("conv_id", "turn_idx", "role")),
 
+    // runaway-loop capping: tool-heavy conversations keep only their
+    // first K turns (marked runaway); healthy convs pass untouched
+    "conv_cap" -> ((s, dir) =>
+      Transcripts.convCap(
+          Transcripts.withInjectedConvAnomalies(Transcripts.fromDocuments(s, dir)))
+        .orderBy("conv_id", "turn_idx", "role")),
+
     "o11_extract_html" -> ((s, dir) => {
       import s.implicits._
       Transcripts.documents(s, dir)
@@ -583,6 +590,36 @@ object SparkEntry {
            |       WHEN k.ts < 0.5 THEN 'mid' ELSE 'high' END AS stratum
            |FROM t JOIN k ON t.conv_id = k.conv_id
            |ORDER BY t.conv_id, turn_idx, role""".stripMargin,
+
+      "conv_cap" ->
+        s"""WITH t0 AS (
+           |  SELECT
+           |    'conv-' || lpad(CAST(doc_id % ${Transcripts.Conversations} AS VARCHAR), 4, '0') AS conv_id,
+           |    CAST(doc_id // ${Transcripts.Conversations} AS INTEGER) AS turn_idx,
+           |    CASE WHEN doc_id % 3 = 0 THEN 'user'
+           |         WHEN doc_id % 3 = 1 THEN 'assistant' ELSE 'tool' END AS role
+           |  FROM documents),
+           |t AS (
+           |  SELECT conv_id, turn_idx, role FROM t0
+           |  UNION ALL
+           |  SELECT 'solo-' || conv_id || '-' || CAST(turn_idx AS VARCHAR),
+           |    CAST(0 AS INTEGER), role FROM t0 WHERE turn_idx % 7 = 3
+           |  UNION ALL
+           |  SELECT 'loop-' || conv_id, turn_idx, 'tool' FROM t0
+           |  WHERE turn_idx % 5 = 1),
+           |k AS (
+           |  SELECT conv_id,
+           |    (CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS DOUBLE)
+           |      / count(*)) > 0.8 AS runaway
+           |  FROM t GROUP BY conv_id),
+           |j AS (
+           |  SELECT t.conv_id, t.turn_idx, t.role, k.runaway,
+           |    row_number() OVER (
+           |      PARTITION BY t.conv_id ORDER BY t.turn_idx, t.role) AS rn
+           |  FROM t JOIN k ON t.conv_id = k.conv_id)
+           |SELECT conv_id, turn_idx, role, runaway
+           |FROM j WHERE NOT runaway OR rn <= ${Transcripts.convCapTurns}
+           |ORDER BY conv_id, turn_idx, role""".stripMargin,
 
       "o11_extract_html" ->
         "SELECT doc_id, text FROM documents ORDER BY doc_id",

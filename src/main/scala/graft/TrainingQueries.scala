@@ -225,6 +225,27 @@ object TrainingQueries {
       TextAnalysis.classifierScore(Transcripts.documents(s, dir))
         .orderBy("doc_id")),
 
+    // classifier TRAINING: distill the blocklist verdict into per-bucket
+    // integer cross-difference weights (one tiny-key groupBy + B-row
+    // collect — the k-means loop pattern on the classifier)
+    "classifier_train" -> ((s, dir) =>
+      TextAnalysis.classifierTrain(Transcripts.documents(s, dir))
+        .orderBy("bucket")),
+
+    // scoring with the TRAINED weights inlined as plan literals (the
+    // same zero-Exchange narrow map as the untrained classifier)
+    "text_classifier_trained" -> ((s, dir) => {
+      val doc = Transcripts.documents(s, dir)
+      TextAnalysis.classifierScoreTrained(doc, TextAnalysis.trainClassifier(doc))
+        .orderBy("doc_id")
+    }),
+
+    // BPE tokenizer training: 3 merge rounds (count pairs -> top-1 ->
+    // narrow replace), merged symbols feed later rounds' pair counts
+    "text_bpe_train" -> ((s, dir) =>
+      TextAnalysis.bpeTrain(Transcripts.documents(s, dir))
+        .orderBy("round")),
+
     // fixed-length chunking with overlap (narrow posexplode, no shuffle)
     "text_chunks" -> ((s, dir) =>
       Packing.chunkDocuments(Transcripts.documents(s, dir))
@@ -319,6 +340,20 @@ object TrainingQueries {
         .unionAll(existing.filter(pmod(col("doc_id"), lit(5)) === 0)
           .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
       Dedup.incrementalDedup(existing, incoming)
+        .select(col("doc_id"), length(col("text")).cast("int").as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // incremental dedup behind the Bloom pre-filter: identical results to
+    // dedup_incremental by construction (no false negatives; candidates
+    // exact-confirmed) — most incoming docs bypass every join
+    "dedup_incremental_bloom" -> ((s, dir) => {
+      val base = Transcripts.documents(s, dir).select(col("doc_id"), col("text"))
+      val existing = base.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val incoming = base.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .unionAll(existing.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      Dedup.incrementalDedupBloom(Dedup.corpusArtifacts(existing), incoming)
         .select(col("doc_id"), length(col("text")).cast("int").as("n_chars"))
         .orderBy("doc_id")
     }),
@@ -743,6 +778,36 @@ object TrainingQueries {
          |FROM t ORDER BY doc_id""".stripMargin
     },
 
+    "classifier_train" ->
+      s"""WITH $duckClassifierTrainCtes
+         |SELECT CAST(c.bucket AS INTEGER) AS bucket, c.n_pos, c.n_neg,
+         |  CAST(c.n_pos * tot.tn - c.n_neg * tot.tp AS BIGINT) AS w
+         |FROM cb c, tot ORDER BY bucket""".stripMargin,
+
+    "text_classifier_trained" ->
+      // the same training CTEs rebuild the weight table; scoring is an
+      // exploded-token left join against it (the Spark side inlines the
+      // collected weights as literals — identical values by construction)
+      s"""WITH $duckClassifierTrainCtes,
+         |wt AS (
+         |  SELECT c.bucket, CAST(c.n_pos * tot.tn - c.n_neg * tot.tp AS BIGINT) AS w
+         |  FROM cb c, tot),
+         |dt AS (
+         |  SELECT doc_id,
+         |    (CAST('0x' || substr(md5(t), 1, 4) AS INTEGER)
+         |      % ${TextAnalysis.classifierBuckets}) AS bucket
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+         |        FROM documents)),
+         |s AS (
+         |  SELECT dt.doc_id, CAST(count(*) AS INTEGER) AS n_tokens,
+         |    CAST(sum(coalesce(wt.w, 0)) AS BIGINT) AS score
+         |  FROM dt LEFT JOIN wt ON wt.bucket = dt.bucket
+         |  GROUP BY dt.doc_id)
+         |SELECT doc_id, n_tokens, score, (score >= 0) AS keep
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "text_bpe_train" -> duckBpeTrainSql,
+
     "quality_funnel" -> {
       val terms = TextAnalysis.blockedTerms.map(t => s"'$t'").mkString(", ")
       val srcs = TextAnalysis.blockedSources.map(s0 => s"'$s0'").mkString(", ")
@@ -1025,6 +1090,11 @@ object TrainingQueries {
 
     "dedup_incremental" -> duckIncrementalSql,
 
+    // the Bloom pre-filter is result-invisible by construction (no false
+    // negatives; candidates exact-confirmed) — same twin as the unscreened
+    // operator, so the oracle itself proves the invisibility
+    "dedup_incremental_bloom" -> duckIncrementalSql,
+
     // identical semantics by design: the stream-static form must reproduce
     // the batch operator's survivors exactly
     "dedup_incremental_stream" -> duckIncrementalSql,
@@ -1046,6 +1116,66 @@ object TrainingQueries {
   /** DuckDB twin shared by the batch and streaming incremental-dedup
     * queries (the streaming form is the same operator fed by a stream).
     */
+  /** Shared training CTEs for the classifier twins: label each doc with
+    * the blocklist verdict, explode tokens to hash buckets, count
+    * occurrences per (bucket, label), and total them — the weight is the
+    * integer cross-difference `n_pos*T_neg - n_neg*T_pos` both twins
+    * derive from `cb`/`tot`.
+    */
+  private lazy val duckClassifierTrainCtes: String = {
+    val terms = TextAnalysis.blockedTerms.map(t => s"'$t'").mkString(", ")
+    val srcs = TextAnalysis.blockedSources.map(s0 => s"'$s0'").mkString(", ")
+    s"""lab AS (
+       |  SELECT (source NOT IN ($srcs) AND len(list_filter(string_split(text, ' '),
+       |      t -> t IN ($terms))) = 0) AS pos, text
+       |  FROM documents),
+       |tk AS (
+       |  SELECT pos,
+       |    (CAST('0x' || substr(md5(t), 1, 4) AS INTEGER)
+       |      % ${TextAnalysis.classifierBuckets}) AS bucket
+       |  FROM (SELECT pos, unnest(string_split(text, ' ')) AS t FROM lab)),
+       |cb AS (
+       |  SELECT bucket,
+       |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+       |  FROM tk GROUP BY bucket),
+       |tot AS (SELECT sum(n_pos) AS tp, sum(n_neg) AS tn FROM cb)""".stripMargin
+  }
+
+  /** BPE-training twin: `bpeTrainRounds` chained rounds — per round, the
+    * pair counts of the (previous-round-merged) corpus, the top-1 pair by
+    * (count desc, pair asc), and the merge applied via `replace` with the
+    * same private-use-area symbol the Spark side uses. Binary UTF-8
+    * collation and UTF-16 code-unit order agree on BMP code points, so
+    * the pair tie-break is engine-independent.
+    */
+  private lazy val duckBpeTrainSql: String = {
+    val rounds = TextAnalysis.bpeTrainRounds
+    val ctes = new StringBuilder("WITH d0 AS (SELECT text FROM documents)")
+    for (r <- 1 to rounds) {
+      ctes.append(s""",
+        |w$r AS (SELECT unnest(string_split(text, ' ')) AS w FROM d${r - 1}),
+        |p$r AS (
+        |  SELECT pair, count(*) AS n FROM (
+        |    SELECT unnest(list_transform(range(1, len(w)), i -> substr(w, i, 2))) AS pair
+        |    FROM w$r WHERE len(w) >= 2)
+        |  GROUP BY 1),
+        |t$r AS (SELECT pair, n FROM p$r ORDER BY n DESC, pair LIMIT 1)""".stripMargin)
+      if (r < rounds) ctes.append(s""",
+        |d$r AS (
+        |  SELECT replace(text, (SELECT pair FROM t$r), chr(${0xE000 + r})) AS text
+        |  FROM d${r - 1})""".stripMargin)
+    }
+    val sel = (1 to rounds)
+      .map(r => s"SELECT $r AS round, pair, n FROM t$r")
+      .mkString("\n  UNION ALL ")
+    s"""${ctes.toString}
+       |SELECT CAST(round AS INTEGER) AS round, pair, CAST(n AS BIGINT) AS n
+       |FROM (
+       |  $sel)
+       |ORDER BY round""".stripMargin
+  }
+
   private lazy val duckIncrementalSql: String =
     s"""WITH existing AS (
          |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),

@@ -354,6 +354,110 @@ object Dedup {
     incoming.join(exactDups.unionAll(nearDups).distinct(), Seq("doc_id"), "left_anti")
   }
 
+  /** Expected distinct-item sizing for [[corpusBloom]] (~1.2 MB of filter
+    * at the default 8 bits/item — the driver/broadcast footprint class of
+    * Spark's own runtime bloom joins; raise with corpus size, capped by
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems`).
+    */
+  val bloomExpectedItems = 1000000L
+
+  /** ONE compact BLOOM fingerprint of the existing corpus's dedup
+    * artifacts — the content hashes AND all non-null band keys inserted
+    * into a single filter (their value spaces may collide bit patterns;
+    * harmless in a pre-filter whose positives are exact-confirmed) —
+    * built in ONE pass over the artifact table with Spark's own
+    * `BloomFilterAggregate` (the sketch the optimizer's runtime row-level
+    * filtering injects; applied here deliberately at the operator level).
+    * Values are guarded BEFORE hashing: `xxhash64(NULL)` is the seed
+    * constant, not NULL, so an unguarded short-doc band would poison the
+    * filter with one shared value. Size `expectedItems` to
+    * ~(1 + bands) × existing docs. Returned as a driver-held byte array;
+    * at 100 TB this is a maintained corpus artifact refreshed per ingest
+    * epoch, exactly like the hash/band tables it summarizes.
+    */
+  def corpusBloom(
+      artifacts: DataFrame,
+      expectedItems: Long = bloomExpectedItems): Array[Byte] = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    def bloomAgg(c: Column): Column = GraftColumnBridge.column(
+      new BloomFilterAggregate(GraftColumnBridge.expression(c), expectedItems)
+        .toAggregateExpression())
+    val vals = xxhash64(col("h")) +:
+      (0 until minhashBandCount).map { b =>
+        val c = col(s"band$b")
+        when(c.isNotNull, xxhash64(c))
+      }
+    artifacts
+      .select(explode(array(vals: _*)).as("v"))
+      .agg(bloomAgg(col("v")).as("bloom"))
+      .head().getAs[Array[Byte]]("bloom")
+  }
+
+  /** [[incrementalDedupWith]] behind a BLOOM pre-filter — the 100 TB
+    * ingest shape: most incoming documents are NOT duplicates, so before
+    * any shuffle the batch is screened against [[corpusBloom]]'s compact
+    * fingerprints (inlined as plan literals — the broadcast-a-sketch move
+    * Spark's runtime bloom-filter join optimization makes, under operator
+    * control). A doc with NO bloom hit on its content hash or any band
+    * key is DEFINITELY new (Bloom filters have no false negatives) and
+    * bypasses every join; only bloom CANDIDATES run the exact hash/band
+    * equi-joins, which also discharge the false positives — so results
+    * are identical to [[incrementalDedupWith]] by construction (spec-
+    * pinned, with the `might_contain` screen pinned in the plan). The
+    * flagged batch is eagerly checkpointed so the clean/candidate split
+    * costs ONE signature evaluation of the incoming side.
+    */
+  /** The bloom-candidate probe over a [[hashAndBands]]-shaped row: true
+    * iff the content hash or ANY non-null band key might be in `bloom`.
+    * ONE bloom literal in the whole plan: the (1 + bands) per-doc probe
+    * values ride an array and an `exists` HOF whose lambda holds the
+    * single `might_contain` — inlining a literal per probe column would
+    * ship (1 + bands) copies of the filter in every task binary.
+    */
+  private[graft] def bloomCandidate(bloom: Array[Byte]): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
+    val probes = xxhash64(col("h")) +:
+      (0 until minhashBandCount).map { b =>
+        val c = col(s"band$b")
+        when(c.isNotNull, xxhash64(c))
+      }
+    coalesce(
+      exists(array(probes: _*), v => GraftColumnBridge.column(
+        BloomFilterMightContain(
+          Literal(bloom, BinaryType), GraftColumnBridge.expression(v)))),
+      lit(false))
+  }
+
+  def incrementalDedupBloom(artifacts: DataFrame, incoming: DataFrame): DataFrame = {
+    val bandCols = (0 until minhashBandCount).map(b => col(s"band$b"))
+    val outCols = incoming.columns.toSeq
+    val flagged = hashAndBands(incoming, outCols.map(col))
+      .withColumn("bloom_cand", bloomCandidate(corpusBloom(artifacts)))
+      .localCheckpoint(true)
+    val clean = flagged.filter(!col("bloom_cand"))
+    val suspects = flagged.filter(col("bloom_cand"))
+    val existingHashes = artifacts.select("h").distinct()
+    val existingBands = artifacts
+      .select(posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
+      .filter(col("band_val").isNotNull)
+      .distinct()
+    val exactDups = suspects.select(col("doc_id"), col("h"))
+      .join(existingHashes, Seq("h"))
+      .select("doc_id")
+    val nearDups = suspects
+      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
+      .filter(col("band_val").isNotNull)
+      .join(existingBands, Seq("band_idx", "band_val"))
+      .select("doc_id").distinct()
+    val survivors = suspects
+      .join(exactDups.unionAll(nearDups).distinct(), Seq("doc_id"), "left_anti")
+    clean.select(outCols.map(col): _*)
+      .unionAll(survivors.select(outCols.map(col): _*))
+  }
+
   /** STREAMING incremental dedup — [[incrementalDedup]] as the continual-
     * ingestion stream it models: INCOMING documents arrive as a stream and
     * are checked against the EXISTING corpus's materialized artifacts (the

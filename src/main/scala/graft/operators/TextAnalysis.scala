@@ -355,6 +355,87 @@ object TextAnalysis {
         (col("score") >= 0).as("keep"))
   }
 
+  /** Hash bucket of one token column — [[classifierScoreExpr]]'s feature
+    * hash (first 4 md5 hex chars mod B, the simhash convention) in Column
+    * form, for the exploded-token shape training needs.
+    */
+  private def classifierBucket(t: Column): Column =
+    pmod(conv(substring(md5(t), 1, 4), 16, 10).cast("int"),
+      lit(classifierBuckets)).cast("int")
+
+  /** TRAINED hashed-feature classifier weights — the loop
+    * [[classifierScore]]'s scaladoc promises ("a trained model drops in by
+    * replacing the weight table"), closed the way the k-means loop was:
+    * DISTILL the rule-based blocklist verdict into per-bucket integer
+    * weights (training a cheap hashed linear scorer on membership labels
+    * is the GPT-3/CCNet quality-classifier pattern — label by
+    * reference-vs-crawl, learn the scalable scorer). For bucket `b` with
+    * token-occurrence counts `n_pos/n_neg` under the positive/negative
+    * label and corpus totals `T_pos/T_neg`, the weight is the exact
+    * integer cross-difference
+    *     `w(b) = n_pos(b) * T_neg - n_neg(b) * T_pos`
+    * — positive iff the bucket is relatively MORE frequent in the positive
+    * corpus: the sign and ordering of the log-odds ratio without the
+    * transcendental `log` that would hold the DuckDB twin hostage to ulp
+    * divergence. Plan: ONE corpus scan — explode tokens -> groupBy(bucket)
+    * with map-side partial agg over <= B keys -> B rows to the driver;
+    * totals derive from the collected table. At trillion-token scale the
+    * cross-products overflow int64 — there, divide both totals by a
+    * common 2^k first (sign and ordering survive); the execution shape
+    * (one tiny-key groupBy + a B-row collect) is what this operator pins.
+    */
+  def trainClassifier(doc: DataFrame): Array[(Int, Long, Long, Long)] = {
+    val counts = doc
+      .select(blocklistKeep(blockedTermCount).as("pos"),
+        explode(tokens(col("text"))).as("t"))
+      .groupBy(classifierBucket(col("t")).as("bucket"))
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("n_neg"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val tPos = counts.map(_._2).sum
+    val tNeg = counts.map(_._3).sum
+    counts.map { case (b, np, nn) => (b, np, nn, np * tNeg - nn * tPos) }
+  }
+
+  /** [[trainClassifier]]'s weight table as a queryable artifact
+    * `(bucket, n_pos, n_neg, w)` — only observed buckets appear (an
+    * unseen bucket scores 0 at inference).
+    */
+  def classifierTrain(doc: DataFrame): DataFrame = {
+    val spark = doc.sparkSession
+    import spark.implicits._
+    trainClassifier(doc).toSeq.toDF("bucket", "n_pos", "n_neg", "w")
+      .select(col("bucket").cast("int").as("bucket"),
+        col("n_pos").cast("long").as("n_pos"),
+        col("n_neg").cast("long").as("n_neg"),
+        col("w").cast("long").as("w"))
+  }
+
+  /** [[classifierScore]] with TRAINED weights inlined as plan literals
+    * (B longs — the collected-centroids convention): the same
+    * zero-Exchange narrow map as the untrained form, so swapping in a
+    * trained model costs nothing in plan shape. Unseen buckets weigh 0.
+    */
+  def classifierScoreTrained(
+      doc: DataFrame, weights: Array[(Int, Long, Long, Long)]): DataFrame = {
+    val byBucket = weights.map(t => t._1 -> t._4).toMap
+    val wArr = (0 until classifierBuckets)
+      .map(b => s"CAST(${byBucket.getOrElse(b, 0L)} AS BIGINT)")
+      .mkString("array(", ", ", ")")
+    val score = expr(
+      s"""aggregate(split(text, ' '), CAST(0 AS BIGINT), (acc, t) ->
+         |  acc + element_at($wArr,
+         |    CAST(pmod(CAST(conv(substring(md5(t), 1, 4), 16, 10) AS INT),
+         |              $classifierBuckets) AS INT) + 1))""".stripMargin)
+    doc.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("int").as("n_tokens"),
+      score.cast("long").as("score"))
+      .select(col("doc_id"), col("n_tokens"), col("score"),
+        (col("score") >= 0).as("keep"))
+  }
+
   /** Top-K size for [[bpePairStats]]. */
   val bpeTopK = 20
 
@@ -384,6 +465,49 @@ object TextAnalysis {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .select(col("rank").cast("int").as("rank"), col("pair"),
+        col("n").cast("long").as("n"))
+  }
+
+  /** Merge rounds for [[bpeTrain]]. */
+  val bpeTrainRounds = 3
+
+  /** BPE tokenizer TRAINING — the iteration [[bpePairStats]]'s scaladoc
+    * declares ("real vocabulary training is this job iterated with merge
+    * application between rounds"), closed like the k-means loop: each
+    * round counts adjacent-symbol pairs (the [[bpePairStats]] job — one
+    * map-side-collapsed shuffle over a tiny key space), collects the TOP
+    * pair (count desc, pair asc; ONE row to the driver), and applies the
+    * merge by rewriting that two-symbol sequence to a fresh private-use-
+    * area symbol (`chr(0xE000 + round)`) — a pure narrow `replace`
+    * (left-to-right non-overlapping in both engines; pairs never contain
+    * a space, so whole-text replace equals per-word replace). Later
+    * rounds' pairs contain merged symbols — exactly BPE (Sennrich et al.
+    * 2016). Per round: one corpus scan (with the previous merges applied
+    * as narrow maps) + one O(alphabet²)-key shuffle + a 1-row collect;
+    * at production scale each round would materialize the re-paired
+    * corpus once instead of re-applying the replace chain. Output: the
+    * merge table `(round, pair, n)`.
+    */
+  def bpeTrain(doc: DataFrame, rounds: Int = bpeTrainRounds): DataFrame = {
+    val spark = doc.sparkSession
+    import spark.implicits._
+    var txt: Column = col("text")
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    for (r <- 1 to rounds) {
+      val top = doc.select(explode(tokens(txt)).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(1).collect()(0)
+      merges += ((r, top.getString(0), top.getLong(1)))
+      txt = replace(txt, lit(top.getString(0)),
+        lit(new String(Array((0xE000 + r).toChar))))
+    }
+    merges.toSeq.toDF("round", "pair", "n")
+      .select(col("round").cast("int").as("round"), col("pair"),
         col("n").cast("long").as("n"))
   }
 

@@ -172,6 +172,39 @@ object Transcripts {
     * second corpus shuffle. At 10^12 turns the keep-set is O(convs) and
     * the join shuffles on the same conv_id key the stats did.
     */
+  /** Turn cap for runaway conversations in [[convCap]]. */
+  val convCapTurns = 4
+
+  /** Runaway-loop CAPPING — the gentler sibling of [[convFilter]]'s drop
+    * rule (the third verb in [[convStats]]' charter: drop / CAP /
+    * stratify): a conversation whose tool share exceeds `maxToolShare`
+    * is an agent stuck in a call loop — instead of losing it entirely,
+    * keep its FIRST `capTurns` turns (by turn_idx: the pre-loop context
+    * is the valuable part) and mark it `runaway`. Healthy conversations
+    * pass through untouched. Plan: one partial-agg groupBy(conv_id)
+    * builds the tiny verdict table, which BROADCASTS back onto the turns
+    * (no corpus shuffle for the join); the corpus pays exactly ONE
+    * Exchange — the conv_id hash partitioning the row_number window
+    * needs — and a conversation's turns always fit one partition, at
+    * 10^12 turns as here.
+    */
+  def convCap(t: DataFrame, maxToolShare: Double = 0.8,
+      capTurns: Int = convCapTurns): DataFrame = {
+    val verdict = t.groupBy("conv_id")
+      .agg(count(lit(1)).as("n_turns"),
+        sum(when(col("role") === "tool", 1L).otherwise(0L)).as("n_tool"))
+      .select(col("conv_id"),
+        (col("n_tool").cast("double") / col("n_turns").cast("double")
+          > maxToolShare).as("runaway"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("conv_id").orderBy(col("turn_idx"), col("role"))
+    t.select(col("conv_id"), col("turn_idx"), col("role"))
+      .join(verdict, Seq("conv_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(!col("runaway") || col("rn") <= capTurns)
+      .drop("rn")
+  }
+
   def convFilter(t: DataFrame, minTurns: Int = 2, maxToolShare: Double = 0.8): DataFrame = {
     val keep = t.groupBy("conv_id")
       .agg(count(lit(1)).as("n_turns"),

@@ -1472,6 +1472,122 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaArt == Set(12L), s"kept $viaArt")
   }
 
+  test("dedup: bloom pre-filter is result-invisible and screens with ONE inlined filter") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val doc = Transcripts.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val existing = doc.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val incoming = doc.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .unionAll(existing.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+    val art = Dedup.corpusArtifacts(existing)
+    val plain = Dedup.incrementalDedupWith(art, incoming)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val bloomed = Dedup.incrementalDedupBloom(art, incoming)
+    val viaBloom = bloomed.select("doc_id").collect().map(_.getLong(0)).toSet
+    // no false negatives + exact confirmation of positives => identical sets
+    assert(viaBloom == plain)
+    // the screen (evaluated inside the operator's eager checkpoint, so
+    // the composed plan reads it as ExistingRDD) carries exactly ONE
+    // might_contain — a copy per probe column would ship (1+bands)x the
+    // filter bytes in every task binary. Pinned over a non-union input
+    // (PushProjectionThroughUnion legitimately clones the projection per
+    // branch) with a small test filter so the plan string stays readable.
+    val screen = Dedup.hashAndBands(doc, Seq(col("doc_id")))
+      .withColumn("cand",
+        Dedup.bloomCandidate(Dedup.corpusBloom(art, expectedItems = 1024)))
+      .queryExecution.executedPlan.toString
+    assert("might_contain".r.findAllIn(screen).length == 1,
+      s"expected exactly 1 might_contain (single shared literal):\n$screen")
+    // a short unshingleable incoming doc with fresh content passes the
+    // screen as clean (guarded probes: null bands probe nothing)
+    val tiny = Seq((99L, "zz")).toDF("doc_id", "text")
+    assert(Dedup.incrementalDedupBloom(art, tiny).count() == 1)
+  }
+
+  test("text: trained classifier weights mirror the count cross-difference and score additively") {
+    import graft.operators.TextAnalysis
+    val doc = Transcripts.documents(spark, sfDir)
+    val w = TextAnalysis.trainClassifier(doc)
+    // mirror the training on the driver from raw rows
+    val rows = doc.select(col("source"), col("text")).collect()
+    def bucket(t: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+      val hex = md.take(2).map(b => f"$b%02x").mkString
+      Integer.parseInt(hex, 16) % TextAnalysis.classifierBuckets
+    }
+    val blocked = TextAnalysis.blockedTerms.toSet
+    val blockedSrc = TextAnalysis.blockedSources.toSet
+    val counts = scala.collection.mutable.Map.empty[Int, (Long, Long)]
+    rows.foreach { r =>
+      val toks = r.getString(1).split(" ")
+      val pos = !blockedSrc(r.getString(0)) && !toks.exists(blocked)
+      toks.foreach { t =>
+        val b = bucket(t)
+        val (p, n) = counts.getOrElse(b, (0L, 0L))
+        counts(b) = if (pos) (p + 1, n) else (p, n + 1)
+      }
+    }
+    val tPos = counts.values.map(_._1).sum
+    val tNeg = counts.values.map(_._2).sum
+    val expected = counts.toSeq.sortBy(_._1).map { case (b, (p, n)) =>
+      (b, p, n, p * tNeg - n * tPos)
+    }
+    assert(w.toSeq == expected)
+    // trained scoring: per-doc score is the sum of its tokens' weights
+    val byB = w.map(t => t._1 -> t._4).toMap
+    val scored = TextAnalysis.classifierScoreTrained(doc, w)
+      .select("doc_id", "score").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docTok = doc.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    docTok.take(50).foreach { case (id, toks) =>
+      val exp = toks.map(t => byB.getOrElse(bucket(t), 0L)).sum
+      assert(scored(id) == exp, s"doc $id")
+    }
+    // the trained map stays zero-Exchange (plan-literal weights)
+    val plan = TextAnalysis.classifierScoreTrained(doc, w)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"plan:\n$plan")
+  }
+
+  test("text: bpe training merges the top pair and later rounds see merged symbols") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    // 'ab' dominates round 1; after ab -> , the pair ( c)
+    // dominates round 2 — the merged symbol must feed later rounds
+    val doc = Seq(
+      (1L, "abc abc abc abc"),
+      (2L, "abd abd abd"),
+      (3L, "xy xy")
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.bpeTrain(doc, rounds = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(m(0) == ((1, "ab", 7)), s"round 1 was ${m(0)}")
+    assert(m(1) == ((2, "c", 4)), s"round 2 was ${m(1)}")
+  }
+
+  test("conv_cap: runaway conversations keep their first K turns, healthy pass untouched") {
+    import spark.implicits._
+    val t = Seq(
+      ("dialog", 0, "user"), ("dialog", 1, "assistant"), ("dialog", 2, "user"),
+      ("dialog", 3, "assistant"), ("dialog", 4, "user"), ("dialog", 5, "assistant"),
+      ("loop", 0, "tool"), ("loop", 1, "tool"), ("loop", 2, "tool"),
+      ("loop", 3, "tool"), ("loop", 4, "tool"), ("loop", 5, "tool")
+    ).toDF("conv_id", "turn_idx", "role")
+    val out = graft.spark.Transcripts.convCap(t)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getBoolean(3)))
+    // healthy: all 6 turns survive, unmarked
+    assert(out.count(_._1 == "dialog") == 6)
+    assert(out.filter(_._1 == "dialog").forall(!_._3))
+    // runaway: exactly the first convCapTurns turns survive, marked
+    val loop = out.filter(_._1 == "loop")
+    assert(loop.map(_._2).sorted.toSeq ==
+      (0 until graft.spark.Transcripts.convCapTurns).toSeq)
+    assert(loop.forall(_._3))
+  }
+
   test("dedup: window fingerprints catch verbatim runs across different docs") {
     import graft.operators.Dedup
     import spark.implicits._
