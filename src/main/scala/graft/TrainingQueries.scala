@@ -310,6 +310,29 @@ object TrainingQueries {
       Sampling.upweight(Transcripts.documents(s, dir))
         .orderBy("doc_id", "rep_idx")),
 
+    // unified-temperature mixture weights (alpha = 1/2): the trained
+    // per-language replication table (one groupBy + languages-row collect)
+    "sample_temperature" -> ((s, dir) =>
+      Sampling.temperatureTable(Transcripts.documents(s, dir))
+        .orderBy("predicted")),
+
+    // the temperature weights applied through the upweight replication
+    // machinery (trained weights in, same narrow explode out)
+    "sample_temperature_apply" -> ((s, dir) =>
+      Sampling.temperatureUpweight(Transcripts.documents(s, dir))
+        .orderBy("doc_id", "rep_idx")),
+
+    // exact media dedup over the binary column (codec-free): map-side md5
+    // of the payload bytes, one digest shuffle; injected +3000000 copies
+    // preserve doc_id % 3 so kind and magic survive -> true byte dups
+    "multimodal_dedup" -> ((s, dir) => {
+      val base = Transcripts.documents(s, dir).select(col("doc_id"), col("text"))
+      val withDups = base.unionAll(base.filter(pmod(col("doc_id"), lit(4)) === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+      Multimodal.mediaDedup(Multimodal.mediaTable(s, withDups))
+        .orderBy("kind", "h")
+    }),
+
     // windowed-fingerprint dedup (exact-substring tradition): docs sharing
     // any 8-token window fingerprint at stride 4 (one groupBy shuffle,
     // streamed in-bucket pairs)
@@ -688,6 +711,64 @@ object TrainingQueries {
          |FROM r WHERE reps > 0
          |ORDER BY doc_id, rep_idx""".stripMargin
     },
+
+    "sample_temperature" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, ${duckLangCounts()} FROM documents),
+         |p AS (
+         |  SELECT doc_id, $duckLangCase AS predicted FROM s),
+         |c AS (SELECT predicted, count(*) AS n_docs FROM p GROUP BY 1),
+         |m AS (SELECT max(n_docs) AS n_max FROM c)
+         |SELECT c.predicted, CAST(c.n_docs AS BIGINT) AS n_docs,
+         |  sqrt(CAST(m.n_max AS DOUBLE) / CAST(c.n_docs AS DOUBLE)) AS weight
+         |FROM c, m ORDER BY predicted""".stripMargin,
+
+    "sample_temperature_apply" ->
+      // the same weight derivation feeds the upweight replication law
+      // (floor(w) copies + 1 iff u < frac(w)) under the 'graft-temp' salt;
+      // IEEE-correctly-rounded sqrt/division make the weights bit-equal
+      // to the Spark side's driver-collected literals
+      s"""WITH s AS (
+         |  SELECT doc_id, ${duckLangCounts()} FROM documents),
+         |p AS (
+         |  SELECT doc_id, $duckLangCase AS predicted FROM s),
+         |c AS (SELECT predicted, count(*) AS n_docs FROM p GROUP BY 1),
+         |m AS (SELECT max(n_docs) AS n_max FROM c),
+         |wt AS (
+         |  SELECT predicted,
+         |    sqrt(CAST(m.n_max AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS w
+         |  FROM c, m),
+         |h AS (
+         |  SELECT p.doc_id, p.predicted,
+         |    CAST('0x' || substr(md5('graft-temp:' || CAST(p.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+         |      * 1.0 / 4294967296 AS u,
+         |    wt.w AS w
+         |  FROM p JOIN wt ON wt.predicted = p.predicted),
+         |r AS (
+         |  SELECT doc_id, predicted,
+         |    CAST(floor(w) + (CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END) AS INTEGER) AS reps
+         |  FROM h)
+         |SELECT doc_id, predicted,
+         |  CAST(unnest(range(1, reps + 1)) AS INTEGER) AS rep_idx
+         |FROM r WHERE reps > 0
+         |ORDER BY doc_id, rep_idx""".stripMargin,
+
+    "multimodal_dedup" ->
+      """WITH b AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 4 = 0),
+        |m AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |      ELSE 'video' END AS kind,
+        |    md5((CASE doc_id % 3 WHEN 0 THEN 'IMG0' WHEN 1 THEN 'AUD0'
+        |      ELSE 'VID0' END) || text) AS h
+        |  FROM b)
+        |SELECT kind, h, CAST(count(*) AS BIGINT) AS n_copies,
+        |  min(doc_id) AS keeper
+        |FROM m GROUP BY kind, h ORDER BY kind, h""".stripMargin,
 
     "dedup_window_fp" -> {
       import graft.operators.Dedup.{windowTokens, windowStride}

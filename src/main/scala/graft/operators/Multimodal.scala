@@ -152,4 +152,18 @@ object Multimodal {
       }
       .toDF("doc_id", "frame_idx", "frame")
   }
+
+  /** EXACT media dedup — the binary-column twin of
+    * [[graft.operators.Dedup.exact]], and the one dedup a multimodal
+    * corpus can run WITHOUT a codec (identical payload bytes are
+    * duplicates whatever they decode to — re-crawled images, re-uploaded
+    * clips). The md5 digest is computed MAP-SIDE over the binary column,
+    * so the one hash shuffle carries 32-hex digests and counts, never the
+    * media bytes — the only shape that survives 100 TB of blobs. Keeper =
+    * min doc_id per (kind, digest).
+    */
+  def mediaDedup(media: Dataset[MediaRow]): DataFrame =
+    media.toDF()
+      .groupBy(col("kind"), md5(col("media")).as("h"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
 }

@@ -124,6 +124,51 @@ object Sampling {
         explode(expr("sequence(1, reps)")).as("rep_idx"))
   }
 
+  /** UNIFIED-temperature mixture weights — the multilingual sampling rule
+    * of mT5 (Xue et al. 2021) and XLM-R (Conneau et al. 2020): sample
+    * language `l` with probability proportional to `p_l^alpha`, flattening
+    * the head and boosting the tail. Expressed as per-doc REPLICATION
+    * weights normalized so the LARGEST language keeps weight 1.0 (the
+    * corpus never shrinks):
+    *     `w_l = (n_max / n_l)^(1 - alpha)`  — sampled counts `n_l * w_l
+    *     ∝ n_l^alpha` exactly.
+    * Alpha is PINNED at 1/2 so the exponent is a single `sqrt`:
+    * IEEE 754 requires sqrt (and division) to be correctly rounded, so
+    * Java's `Math.sqrt` on the driver and the oracle engine's `sqrt` in
+    * SQL produce bit-identical doubles — a general `pow` carries no such
+    * guarantee and would hold the oracle hash hostage to libm. Plan: ONE
+    * map-side-combined groupBy(language) and a languages-row collect (the
+    * trained-centroids convention — the weight table IS a trained
+    * artifact of the corpus).
+    */
+  def temperatureWeights(doc: DataFrame): Array[(String, Long, Double)] = {
+    val counts = doc.select(TextAnalysis.langPredicted.as("predicted"))
+      .groupBy("predicted").agg(count(lit(1)).as("n_docs"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val nMax = counts.map(_._2).max
+    counts.map { case (l, n) => (l, n, math.sqrt(nMax.toDouble / n.toDouble)) }
+  }
+
+  /** [[temperatureWeights]] as a queryable artifact
+    * `(predicted, n_docs, weight)`.
+    */
+  def temperatureTable(doc: DataFrame): DataFrame = {
+    val spark = doc.sparkSession
+    import spark.implicits._
+    temperatureWeights(doc).toSeq.toDF("predicted", "n_docs", "weight")
+      .select(col("predicted"), col("n_docs").cast("long").as("n_docs"),
+        col("weight").cast("double").as("weight"))
+  }
+
+  /** Apply [[temperatureWeights]] through the [[upweight]] replication
+    * machinery (floor(w) copies + one more iff the salted uniform <
+    * frac(w)) — temperature sampling IS a mixture upweighting whose
+    * weights are trained from the corpus instead of hand-specified.
+    */
+  def temperatureUpweight(doc: DataFrame): DataFrame =
+    upweight(doc, temperatureWeights(doc).map(t => t._1 -> t._3).toMap,
+      salt = "graft-temp")
+
   /** Held-out split fractions: 90% train / 5% validation / 5% test. */
   val splitTrain = 0.90
   val splitVal = 0.95

@@ -1588,6 +1588,47 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(loop.forall(_._3))
   }
 
+  test("sampling: temperature weights flatten the head and replicate floor/ceil per doc") {
+    import graft.operators.Sampling
+    val doc = Transcripts.documents(spark, sfDir)
+    val w = Sampling.temperatureWeights(doc)
+    val nMax = w.map(_._2).max
+    // the largest language keeps weight exactly 1.0; every weight is the
+    // correctly-rounded sqrt of the count ratio and weakly monotone in
+    // 1/n (tail languages replicate more)
+    w.foreach { case (_, n, wt) =>
+      assert(wt == math.sqrt(nMax.toDouble / n.toDouble))
+      assert(wt >= 1.0)
+    }
+    assert(w.filter(_._2 == nMax).forall(_._3 == 1.0))
+    // applied: every doc appears floor(w) or ceil(w) times for ITS language
+    val byLang = w.map(t => t._1 -> t._3).toMap
+    val reps = Sampling.temperatureUpweight(doc)
+      .groupBy("doc_id", "predicted").count().collect()
+    assert(reps.nonEmpty)
+    reps.foreach { r =>
+      val wt = byLang(r.getString(1))
+      val k = r.getLong(2)
+      assert(k == math.floor(wt).toLong || k == math.ceil(wt).toLong,
+        s"doc ${r.getLong(0)} lang ${r.getString(1)}: $k reps for weight $wt")
+    }
+  }
+
+  test("multimodal: exact media dedup collapses identical bytes, distinguishes kinds") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "same payload"), (3L, "same payload"),   // both % 3 == 0 -> image, same bytes
+      (1L, "same payload"),                         // audio magic -> different bytes
+      (6L, "unique content")
+    ).toDF("doc_id", "text")
+    val out = Multimodal.mediaDedup(Multimodal.mediaTable(spark, docs))
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    // the two image copies collapse to keeper 0; the audio copy of the
+    // same text stays its own group (magic differs -> bytes differ)
+    assert(out.toSet == Set(("image", 2L, 0L), ("audio", 1L, 1L), ("image", 1L, 6L)))
+  }
+
   test("dedup: window fingerprints catch verbatim runs across different docs") {
     import graft.operators.Dedup
     import spark.implicits._
