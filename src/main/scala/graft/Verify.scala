@@ -10,6 +10,13 @@ object Verify {
     // iteration; the driver always runs the full suite)
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
+    // a typo'd name must fail loudly — a filter matching nothing would
+    // write no parquet, dump an empty oracle map, and still exit 0
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"unknown queries: ${unknown.mkString(", ")} (check SparkEntry.queries)")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

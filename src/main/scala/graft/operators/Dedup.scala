@@ -337,21 +337,39 @@ object Dedup {
     * [[corpusArtifacts]] for the table shape). NULL band values (short
     * docs) are dropped from the bucket table — they match nothing.
     */
-  def incrementalDedupWith(artifacts: DataFrame, incoming: DataFrame): DataFrame = {
+  def incrementalDedupWith(artifacts: DataFrame, incoming: DataFrame): DataFrame =
+    incrementalAntiJoin(artifacts,
+      incoming.select(col("doc_id"), md5(col("text")).as("h")),
+      minhashSignature(incoming), incoming)
+
+  /** The exact-confirmation core shared by [[incrementalDedupWith]] and
+    * [[incrementalDedupBloom]] — ONE copy of the dedup semantics, so the
+    * screened and unscreened paths cannot drift: drop from `keepFrom`
+    * every doc_id whose content hash hits the artifact hash table or
+    * whose band key hits an artifact band bucket. `hashed` supplies
+    * `(doc_id, h)`; `banded` supplies `doc_id` + the band columns (NULL
+    * bands match nothing on either side).
+    */
+  private def incrementalAntiJoin(
+      artifacts: DataFrame,
+      hashed: DataFrame,
+      banded: DataFrame,
+      keepFrom: DataFrame): DataFrame = {
     val bandCols = (0 until minhashBandCount).map(b => col(s"band$b"))
     val existingHashes = artifacts.select("h").distinct()
     val existingBands = artifacts
       .select(posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
       .filter(col("band_val").isNotNull)
       .distinct()
-    val exactDups = incoming.select(col("doc_id"), md5(col("text")).as("h"))
+    val exactDups = hashed.select(col("doc_id"), col("h"))
       .join(existingHashes, Seq("h"))
       .select("doc_id")
-    val nearDups = minhashSignature(incoming)
+    val nearDups = banded
       .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
+      .filter(col("band_val").isNotNull)
       .join(existingBands, Seq("band_idx", "band_val"))
       .select("doc_id").distinct()
-    incoming.join(exactDups.unionAll(nearDups).distinct(), Seq("doc_id"), "left_anti")
+    keepFrom.join(exactDups.unionAll(nearDups).distinct(), Seq("doc_id"), "left_anti")
   }
 
   /** Expected distinct-item sizing for [[corpusBloom]] (~1.2 MB of filter
@@ -375,6 +393,20 @@ object Dedup {
     * at 100 TB this is a maintained corpus artifact refreshed per ingest
     * epoch, exactly like the hash/band tables it summarizes.
     */
+  /** The guarded insert/probe values over a [[hashAndBands]]-shaped row —
+    * ONE definition shared by [[corpusBloom]] (insert side) and
+    * [[bloomCandidate]] (probe side): the two must produce bit-identical
+    * value sequences or the filter's no-false-negatives guarantee breaks
+    * SILENTLY (real duplicates would screen as "definitely new" and skip
+    * the exact joins).
+    */
+  private def bloomProbes: Seq[Column] =
+    xxhash64(col("h")) +:
+      (0 until minhashBandCount).map { b =>
+        val c = col(s"band$b")
+        when(c.isNotNull, xxhash64(c))
+      }
+
   def corpusBloom(
       artifacts: DataFrame,
       expectedItems: Long = bloomExpectedItems): Array[Byte] = {
@@ -383,13 +415,8 @@ object Dedup {
     def bloomAgg(c: Column): Column = GraftColumnBridge.column(
       new BloomFilterAggregate(GraftColumnBridge.expression(c), expectedItems)
         .toAggregateExpression())
-    val vals = xxhash64(col("h")) +:
-      (0 until minhashBandCount).map { b =>
-        val c = col(s"band$b")
-        when(c.isNotNull, xxhash64(c))
-      }
     artifacts
-      .select(explode(array(vals: _*)).as("v"))
+      .select(explode(array(bloomProbes: _*)).as("v"))
       .agg(bloomAgg(col("v")).as("bloom"))
       .head().getAs[Array[Byte]]("bloom")
   }
@@ -406,7 +433,11 @@ object Dedup {
     * are identical to [[incrementalDedupWith]] by construction (spec-
     * pinned, with the `might_contain` screen pinned in the plan). The
     * flagged batch is eagerly checkpointed so the clean/candidate split
-    * costs ONE signature evaluation of the incoming side.
+    * costs ONE signature evaluation of the incoming side. Size
+    * `expectedItems` to ~(1 + bands) × existing docs: an undersized
+    * filter saturates and silently stops screening — results stay
+    * correct (the exact joins still discharge every candidate) but the
+    * bypass the operator exists for disappears.
     */
   /** The bloom-candidate probe over a [[hashAndBands]]-shaped row: true
     * iff the content hash or ANY non-null band key might be in `bloom`.
@@ -419,41 +450,24 @@ object Dedup {
     import org.apache.spark.sql.GraftColumnBridge
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.types.BinaryType
-    val probes = xxhash64(col("h")) +:
-      (0 until minhashBandCount).map { b =>
-        val c = col(s"band$b")
-        when(c.isNotNull, xxhash64(c))
-      }
     coalesce(
-      exists(array(probes: _*), v => GraftColumnBridge.column(
+      exists(array(bloomProbes: _*), v => GraftColumnBridge.column(
         BloomFilterMightContain(
           Literal(bloom, BinaryType), GraftColumnBridge.expression(v)))),
       lit(false))
   }
 
-  def incrementalDedupBloom(artifacts: DataFrame, incoming: DataFrame): DataFrame = {
-    val bandCols = (0 until minhashBandCount).map(b => col(s"band$b"))
+  def incrementalDedupBloom(
+      artifacts: DataFrame,
+      incoming: DataFrame,
+      expectedItems: Long = bloomExpectedItems): DataFrame = {
     val outCols = incoming.columns.toSeq
     val flagged = hashAndBands(incoming, outCols.map(col))
-      .withColumn("bloom_cand", bloomCandidate(corpusBloom(artifacts)))
+      .withColumn("bloom_cand", bloomCandidate(corpusBloom(artifacts, expectedItems)))
       .localCheckpoint(true)
     val clean = flagged.filter(!col("bloom_cand"))
     val suspects = flagged.filter(col("bloom_cand"))
-    val existingHashes = artifacts.select("h").distinct()
-    val existingBands = artifacts
-      .select(posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
-      .filter(col("band_val").isNotNull)
-      .distinct()
-    val exactDups = suspects.select(col("doc_id"), col("h"))
-      .join(existingHashes, Seq("h"))
-      .select("doc_id")
-    val nearDups = suspects
-      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
-      .filter(col("band_val").isNotNull)
-      .join(existingBands, Seq("band_idx", "band_val"))
-      .select("doc_id").distinct()
-    val survivors = suspects
-      .join(exactDups.unionAll(nearDups).distinct(), Seq("doc_id"), "left_anti")
+    val survivors = incrementalAntiJoin(artifacts, suspects, suspects, suspects)
     clean.select(outCols.map(col): _*)
       .unionAll(survivors.select(outCols.map(col): _*))
   }
@@ -691,15 +705,27 @@ object Dedup {
     clusterKeepFrom(doc,
       doc.select(col("doc_id"), sourcePriority.cast("int").as("priority")))
 
+  private val prefGuardSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** [[clusterKeep]] with a real `(source, priority)` preference TABLE —
     * the documented drop-in for the expression stand-in: the table is tiny
     * (one row per source) and BROADCAST-joined to the corpus, so the
     * priority lookup costs one map-side hash probe per doc, no shuffle.
+    * The join is LEFT OUTER: a source missing from the table keeps its
+    * docs at priority -1 (below every listed source) instead of silently
+    * deleting them from the retention output, and a
+    * `graft_guard_pref_unlisted_*` observed metric counts the misses —
+    * the [[graft.operators.Sampling.stratifiedSample]] unlisted-stratum
+    * convention, because a pref-table typo at 100 TB must be loggable,
+    * never a silent data hole.
     */
   def clusterKeepWith(doc: DataFrame, pref: DataFrame): DataFrame =
     clusterKeepFrom(doc,
-      doc.join(broadcast(pref), Seq("source"))
-        .select(col("doc_id"), col("priority").cast("int").as("priority")))
+      doc.join(broadcast(pref), Seq("source"), "left_outer")
+        .observe(s"graft_guard_pref_unlisted_${prefGuardSeq.incrementAndGet()}",
+          sum(when(col("priority").isNull, 1L).otherwise(0L)).as("unlisted_rows"))
+        .select(col("doc_id"),
+          coalesce(col("priority"), lit(-1)).cast("int").as("priority")))
 
   /** The retention core over a prebuilt per-doc `(doc_id, priority)` table.
     * Injected +1000000 dup copies inherit their original's priority by

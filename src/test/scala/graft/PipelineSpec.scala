@@ -1409,6 +1409,15 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b)
     val plan = Dedup.clusterKeepWith(doc, pref).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast priority join in:\n$plan")
+    // a source MISSING from the table must not delete its docs from the
+    // retention output — they stay at priority -1 (below every listed one)
+    val srcOfClustered = Dedup.clusterKeep(doc).select("doc_id")
+      .join(doc.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select("source").head().getString(0)
+    val kept = Dedup.clusterKeepWith(doc, pref.filter(col("source") =!= srcOfClustered))
+      .collect()
+    assert(kept.length == a.size, "unlisted source silently deleted rows")
+    assert(kept.exists(_.getInt(2) == -1), "excluded source got no -1 fallback")
   }
 
   test("dedup: incremental ingest drops exact and band-matching incoming docs") {
