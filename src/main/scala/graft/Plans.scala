@@ -182,6 +182,11 @@ object Plans {
       ("Runaway-loop capping (conv_cap)",
         "the tiny per-conv verdict table BROADCASTS back onto the turns (no corpus shuffle for the join); the corpus pays exactly ONE Exchange — the conv_id partitioning the row_number window needs; only runaway convs lose rows",
         fmt(Transcripts.convCap(Transcripts.withInjectedConvAnomalies(t)))),
+      ("Exact media dedup (binary column, codec-free)",
+        "md5 of the payload bytes computed MAP-SIDE inside the partial HashAggregate: the one Exchange carries (kind, 32-hex digest, partial count) rows — the media bytes never shuffle",
+        fmt(graft.operators.Multimodal.mediaDedup(
+          graft.operators.Multimodal.mediaTable(spark,
+            doc.select(col("doc_id"), col("text")))))),
       ("Conversation-level curation (conv_filter)",
         "ONE partial-agg groupBy(conv_id) builds the per-conversation keep-set (single-turn + tool-share rules, stratum payload), then one equi-join back to the turns — no window, no second corpus shuffle",
         fmt(Transcripts.convFilter(Transcripts.withInjectedConvAnomalies(t)))),

@@ -180,6 +180,54 @@ object CoreProperties extends Properties("core") {
       TextMirrors.winnowedFps(d1).intersect(TextMirrors.winnowedFps(d2)).nonEmpty
     }
   }
+
+  /** Structured crawl-URL generator: every combination of case-mixed
+    * scheme/host, userinfo, default/explicit port, path segments with
+    * reserved/unreserved/malformed escapes and empty runs, tracking and
+    * look-alike query params, and fragments (incl. '?' inside).
+    */
+  private val urlGen: Gen[String] = for {
+    scheme <- Gen.oneOf("http", "https", "HTTPS", "Http")
+    userinfo <- Gen.oneOf("", "user@", "user:Pw@")
+    host <- Gen.oneOf("Example.COM", "a-b.example.org", "192.168.0.1",
+      "sub.EXAMPLE.co.uk")
+    port <- Gen.oneOf("", ":80", ":443", ":8443")
+    nseg <- Gen.choose(0, 3)
+    segs <- Gen.listOfN(nseg, Gen.oneOf("a", "B", "p%2fq", "%7Euser", "x%2",
+      "p%zz", "docs", ""))
+    slash <- Gen.oneOf("", "/", "//")
+    nq <- Gen.choose(0, 4)
+    params <- Gen.listOfN(nq, Gen.oneOf("utm_source=f", "utm_x=1", "fbclid=z",
+      "fbclident=1", "a=1", "b=2", "q=%41", "utm=keep", "x=%3d", ""))
+    frag <- Gen.oneOf("", "#f", "#a?b")
+  } yield {
+    val path = if (segs.isEmpty) "" else "/" + segs.mkString("/")
+    val query = if (params.isEmpty) "" else "?" + params.mkString("&")
+    s"$scheme://$userinfo$host$port$path$slash$query$frag"
+  }
+
+  property("url canonicalization is IDEMPOTENT (a canonical url is its own dedup key)") =
+    forAll(urlGen) { u =>
+      val once = Urls.canonicalize(u)
+      Urls.canonicalize(once) == once
+    }
+
+  property("canonical http(s) urls: no fragment, no tracking params, sorted query") =
+    forAll(urlGen) { u =>
+      val c = Urls.canonicalize(u)
+      val qi = c.indexOf('?')
+      val params = if (qi < 0) Seq.empty[String]
+        else c.substring(qi + 1).split("&", -1).toSeq
+      !c.contains("#") &&
+        params == params.sorted &&
+        params.forall { p =>
+          val k = p.takeWhile(_ != '=')
+          k != "fbclid" && !k.startsWith("utm_")
+        }
+    }
+
+  property("url canonicalization is TOTAL on arbitrary garbage (never throws)") =
+    forAll(textGen) { s => Urls.canonicalize(s) != null }
 }
 
 /** Pure-Scala mirrors of columnar text kernels, shared by the ScalaCheck
