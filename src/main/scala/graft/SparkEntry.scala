@@ -58,6 +58,23 @@ object SparkEntry {
           Transcripts.withInjectedConvAnomalies(Transcripts.fromDocuments(s, dir)))
         .orderBy("conv_id", "turn_idx", "role")),
 
+    // the conversational data-prep pipeline END TO END over the payload
+    // this graft processes: inject anomalies -> CAP runaway loops ->
+    // DROP single-turn convs + STRATIFY by post-cap tool share -> the
+    // per-stratum mixture report (capped loops land in 'high' by
+    // construction). Every stage keeps its standalone scale shape; the
+    // report is a 3-row two-level agg.
+    "conv_prep_e2e" -> ((s, dir) => {
+      val t = Transcripts.withInjectedConvAnomalies(Transcripts.fromDocuments(s, dir))
+      val kept = Transcripts.convFilter(
+        Transcripts.convCap(t).select("conv_id", "turn_idx", "role"),
+        maxToolShare = 1.0)
+      kept.groupBy("stratum")
+        .agg(countDistinct(col("conv_id")).cast("long").as("n_convs"),
+          count(lit(1)).cast("long").as("n_turns"))
+        .orderBy("stratum")
+    }),
+
     "o11_extract_html" -> ((s, dir) => {
       import s.implicits._
       Transcripts.documents(s, dir)
@@ -620,6 +637,49 @@ object SparkEntry {
            |SELECT conv_id, turn_idx, role, runaway
            |FROM j WHERE NOT runaway OR rn <= ${Transcripts.convCapTurns}
            |ORDER BY conv_id, turn_idx, role""".stripMargin,
+
+      "conv_prep_e2e" ->
+        s"""WITH t0 AS (
+           |  SELECT
+           |    'conv-' || lpad(CAST(doc_id % ${Transcripts.Conversations} AS VARCHAR), 4, '0') AS conv_id,
+           |    CAST(doc_id // ${Transcripts.Conversations} AS INTEGER) AS turn_idx,
+           |    CASE WHEN doc_id % 3 = 0 THEN 'user'
+           |         WHEN doc_id % 3 = 1 THEN 'assistant' ELSE 'tool' END AS role
+           |  FROM documents),
+           |t AS (
+           |  SELECT conv_id, turn_idx, role FROM t0
+           |  UNION ALL
+           |  SELECT 'solo-' || conv_id || '-' || CAST(turn_idx AS VARCHAR),
+           |    CAST(0 AS INTEGER), role FROM t0 WHERE turn_idx % 7 = 3
+           |  UNION ALL
+           |  SELECT 'loop-' || conv_id, turn_idx, 'tool' FROM t0
+           |  WHERE turn_idx % 5 = 1),
+           |kcap AS (
+           |  SELECT conv_id,
+           |    (CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS DOUBLE)
+           |      / count(*)) > 0.8 AS runaway
+           |  FROM t GROUP BY conv_id),
+           |cap AS (
+           |  SELECT conv_id, turn_idx, role FROM (
+           |    SELECT t.conv_id, t.turn_idx, t.role, k.runaway,
+           |      row_number() OVER (
+           |        PARTITION BY t.conv_id ORDER BY t.turn_idx, t.role) AS rn
+           |    FROM t JOIN kcap k ON t.conv_id = k.conv_id)
+           |  WHERE NOT runaway OR rn <= ${Transcripts.convCapTurns}),
+           |kf AS (
+           |  SELECT conv_id,
+           |    CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS DOUBLE)
+           |      / count(*) AS ts
+           |  FROM cap GROUP BY conv_id
+           |  HAVING count(*) >= 2),
+           |j AS (
+           |  SELECT cap.conv_id,
+           |    CASE WHEN kf.ts < 0.25 THEN 'low'
+           |         WHEN kf.ts < 0.5 THEN 'mid' ELSE 'high' END AS stratum
+           |  FROM cap JOIN kf ON cap.conv_id = kf.conv_id)
+           |SELECT stratum, CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+           |  CAST(count(*) AS BIGINT) AS n_turns
+           |FROM j GROUP BY stratum ORDER BY stratum""".stripMargin,
 
       "o11_extract_html" ->
         "SELECT doc_id, text FROM documents ORDER BY doc_id",

@@ -1397,6 +1397,25 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(loops.filter(col("role") =!= "tool").count() == 0)
   }
 
+  test("conv_prep_e2e: report conserves curated turns; capped loops land in 'high'") {
+    val t = graft.spark.Transcripts.withInjectedConvAnomalies(
+      Transcripts.fromDocuments(spark, sfDir))
+    val kept = graft.spark.Transcripts.convFilter(
+      graft.spark.Transcripts.convCap(t).select("conv_id", "turn_idx", "role"),
+      maxToolShare = 1.0)
+    val rep = SparkEntry.queries("conv_prep_e2e")(spark, sfDir).collect()
+    // turn conservation: the report's turn totals are exactly the curated set
+    assert(rep.map(_.getLong(2)).sum == kept.count())
+    // runaway loops survive capping, stratify as pure-tool ('high'), and
+    // carry at most convCapTurns turns each
+    val loops = kept.filter(col("conv_id").startsWith("loop-"))
+    assert(loops.count() > 0)
+    assert(loops.select("stratum").distinct().collect()
+      .map(_.getString(0)).toSet == Set("high"))
+    assert(loops.groupBy("conv_id").count()
+      .filter(col("count") > graft.spark.Transcripts.convCapTurns).count() == 0)
+  }
+
   test("dedup: clusterKeep preference-TABLE variant broadcast-joins, matches the expression form") {
     import graft.operators.Dedup
     val doc = Transcripts.documents(spark, sfDir)
