@@ -182,6 +182,15 @@ object Plans {
       ("Runaway-loop capping (conv_cap)",
         "the tiny per-conv verdict table BROADCASTS back onto the turns (no corpus shuffle for the join); the corpus pays exactly ONE Exchange — the conv_id partitioning the row_number window needs; only runaway convs lose rows",
         fmt(Transcripts.convCap(Transcripts.withInjectedConvAnomalies(t)))),
+      ("Semantic ingest dedup (incoming vs existing cell artifact)",
+        "incoming batch: ONE zero-Exchange scoring map (checkpointed -> ExistingRDD reuse for join + report); existing side reads its materialized artifact; one cell equi-join + codegen'd per-pair dot + distinct anti-join; oversized cells excluded observably",
+        {
+          val base = emb.select(col("vec_id"),
+            org.apache.spark.sql.functions.expr(
+              "transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+          fmt(Dedup.semanticDedupIncremental(base,
+            base.select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))))
+        }),
       ("Exact media dedup (binary column, codec-free)",
         "md5 of the payload bytes computed MAP-SIDE inside the partial HashAggregate: the one Exchange carries (kind, 32-hex digest, partial count) rows — the media bytes never shuffle",
         fmt(graft.operators.Multimodal.mediaDedup(

@@ -408,6 +408,25 @@ object TrainingQueries {
         .transform(e => Dedup.semanticDedup(e, minCos = 0.8))
         .orderBy("vec_id")),
 
+    // ingest-time SEMANTIC dedup: incoming embeddings checked against the
+    // existing corpus's cell artifact (near-dup variants of every existing
+    // vector must drop; negated novel vectors ride along)
+    "dedup_semantic_incremental" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val existing = e.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+      val nearDup = e.select((col("vec_id") + 10000L).as("vec_id"),
+        expr("""transform(sequence(1, 64),
+                |  i -> IF(i = 1, CAST(element_at(embedding, i) AS DOUBLE) + 0.5D,
+                |          CAST(element_at(embedding, i) AS DOUBLE)))""".stripMargin)
+          .as("embedding"))
+      val novel = e.filter(pmod(col("vec_id"), lit(5)) === 0)
+        .select((col("vec_id") + 20000L).as("vec_id"),
+          expr("transform(embedding, x -> -CAST(x AS DOUBLE))").as("embedding"))
+      Dedup.semanticDedupIncremental(existing, nearDup.unionAll(novel))
+        .orderBy("vec_id")
+    }),
+
     // SemDeDup with TRAINED k-means centroids (2 fixed-point Lloyd
     // iterations over the same dup-injected base) as the quantizer
     "dedup_semantic_trained" -> ((s, dir) =>
@@ -1403,6 +1422,60 @@ object TrainingQueries {
          |  (d.vec_id IS NOT NULL) AS dropped
          |FROM asg g LEFT JOIN drp d ON g.vec_id = d.vec_id
          |ORDER BY g.vec_id""".stripMargin
+    },
+
+    "dedup_semantic_incremental" -> {
+      // the incremental twin: quantizer = first-K of the EXISTING side
+      // only; incoming assigned against the same centroids; a hit is any
+      // existing member of the incoming vector's cell with cos >= 0.8
+      val k = Similarity.ivfCells
+      def dotD(a: String, b: String) =
+        s"list_sum(list_transform(range(1, 65), n -> $a[n] * $b[n]))"
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |inc AS (
+         |  SELECT vec_id + 10000 AS vec_id,
+         |    list_transform(range(1, 65),
+         |      i -> CASE WHEN i = 1 THEN emb[i] + 0.5 ELSE emb[i] END) AS emb
+         |  FROM e
+         |  UNION ALL
+         |  SELECT vec_id + 20000 AS vec_id,
+         |    list_transform(range(1, 65), i -> -emb[i]) AS emb
+         |  FROM e WHERE vec_id % 5 = 0),
+         |v AS (SELECT vec_id, emb, ${dotD("emb", "emb")} AS na FROM e),
+         |cent AS (
+         |  SELECT vec_id AS centroid_id, emb AS ce, na AS nb FROM v
+         |  WHERE vec_id < $k),
+         |sce AS (
+         |  SELECT x.vec_id, x.emb, x.na, c.centroid_id,
+         |    round(${dotD("x.emb", "c.ce")} / sqrt(x.na * c.nb), 6) AS ccos
+         |  FROM v x, cent c),
+         |ae AS (
+         |  SELECT vec_id, emb, na, centroid_id, ccos,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rn
+         |  FROM sce),
+         |asge AS (
+         |  SELECT vec_id, emb, na, centroid_id AS cell FROM ae WHERE rn = 1),
+         |vi AS (SELECT vec_id, emb, ${dotD("emb", "emb")} AS na FROM inc),
+         |sci AS (
+         |  SELECT x.vec_id, x.emb, x.na, c.centroid_id,
+         |    round(${dotD("x.emb", "c.ce")} / sqrt(x.na * c.nb), 6) AS ccos
+         |  FROM vi x, cent c),
+         |ai AS (
+         |  SELECT vec_id, emb, na, centroid_id, ccos,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rn
+         |  FROM sci),
+         |asgi AS (
+         |  SELECT vec_id, emb, na, centroid_id AS cell, ccos AS centroid_cos
+         |  FROM ai WHERE rn = 1),
+         |hits AS (
+         |  SELECT DISTINCT i.vec_id FROM asgi i
+         |  JOIN asge g ON i.cell = g.cell
+         |  WHERE round(${dotD("i.emb", "g.emb")} / sqrt(i.na * g.na), 6) >= 0.8)
+         |SELECT i.vec_id, i.cell, i.centroid_cos,
+         |  (h.vec_id IS NOT NULL) AS dropped
+         |FROM asgi i LEFT JOIN hits h ON h.vec_id = i.vec_id
+         |ORDER BY i.vec_id""".stripMargin
     },
 
     "dedup_semantic_trained" -> {

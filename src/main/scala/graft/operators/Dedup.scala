@@ -439,6 +439,58 @@ object Dedup {
     * correct (the exact joins still discharge every candidate) but the
     * bypass the operator exists for disappears.
     */
+  /** Semantic ARTIFACT of the existing corpus — its scored cell assignment
+    * `(vec_id, embedding, na, cell, centroid_cos)`, eagerly materialized:
+    * at 100 TB this is the persisted table the corpus maintains per ingest
+    * epoch alongside its content-hash and band artifacts
+    * ([[corpusArtifacts]]), so ingest never re-scores the corpus.
+    */
+  def semanticArtifacts(
+      existing: DataFrame, cents: Array[(Long, Array[Double])]): DataFrame =
+    Similarity.ivfAssignScoredWith(existing, cents).localCheckpoint(true)
+
+  /** Ingest-time SEMANTIC dedup — the third member of the incremental
+    * family ([[incrementalDedup]] checks content hashes and minhash bands;
+    * this checks semantic duplicates the same way): drop every INCOMING
+    * embedding whose cosine with ANY existing member of its assigned cell
+    * is >= `minCos`. The quantizer is the EXISTING corpus's (centroids
+    * collected once), so assignment is stable as the corpus grows;
+    * incoming-vs-incoming pairs are out of scope by the incremental
+    * contract (each batch joins the corpus before the next arrives).
+    *
+    * Plan: ONE zero-Exchange scoring map over the incoming batch (eagerly
+    * checkpointed — both the cell join and the final report read it from
+    * memory), one equi-join on `cell` against the artifact (AQE handles
+    * hot-cell skew), the codegen'd per-pair dot, distinct + anti-join.
+    * Existing cells above [[semanticMaxCell]] are excluded OBSERVABLY
+    * (`graft_caps_semincr_*`) — the in-batch operator's degenerate-cell
+    * rule in ingest form. Output mirrors [[semanticDedup]]: one row per
+    * incoming vector `(vec_id, cell, centroid_cos, dropped)`.
+    */
+  def semanticDedupIncremental(
+      existing: DataFrame, incoming: DataFrame, minCos: Double = 0.8): DataFrame = {
+    import graft.spark.VectorFunctions.vecDot
+    val cents = Similarity.collectCentroids(existing)
+    val art = semanticArtifacts(existing, cents)
+    val okCells = observeCapDrops(
+        art.groupBy("cell").agg(count(lit(1)).as("n_cell")),
+        "semincr", col("n_cell"), semanticMaxCell)
+      .filter(col("n_cell") <= semanticMaxCell)
+      .select("cell")
+    val artOk = art.join(okCells, Seq("cell"), "left_semi")
+    val inc = Similarity.ivfAssignScoredWith(incoming, cents).localCheckpoint(true)
+    val hits = inc
+      .join(artOk.select(col("cell"), col("embedding").as("e_emb"),
+        col("na").as("e_na")), Seq("cell"))
+      .filter(round(vecDot(col("embedding"), col("e_emb")) /
+        sqrt(col("na") * col("e_na")), 6) >= minCos)
+      .select("vec_id").distinct()
+    inc.select(col("vec_id"), col("cell"), col("centroid_cos"))
+      .join(hits.withColumn("d", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("centroid_cos"),
+        coalesce(col("d"), lit(false)).as("dropped"))
+  }
+
   /** The bloom-candidate probe over a [[hashAndBands]]-shaped row: true
     * iff the content hash or ANY non-null band key might be in `bloom`.
     * ONE bloom literal in the whole plan: the (1 + bands) per-doc probe

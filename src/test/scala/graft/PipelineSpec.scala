@@ -1657,6 +1657,28 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSet == Set(("image", 2L, 0L), ("audio", 1L, 1L), ("image", 1L, 6L)))
   }
 
+  test("dedup: semantic ingest drops against the existing cell artifact, covers every incoming vec") {
+    import graft.operators.Dedup
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val existing = e.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+    // re-ingesting the corpus itself is the bulletproof case: every vector
+    // lands in its own cell (identical assignment) at cos 1.0 -> all drop
+    val reingest = Dedup.semanticDedupIncremental(existing, existing)
+    assert(reingest.filter(!col("dropped")).count() == 0)
+    assert(reingest.count() == existing.count())
+    // perturbed copies: one report row per incoming vec, some drops, and
+    // the existing side reads from the checkpointed artifact (ExistingRDD)
+    val nearDup = existing.select((col("vec_id") + 10000L).as("vec_id"),
+      expr("""transform(sequence(1, 64),
+              |  i -> IF(i = 1, element_at(embedding, i) + 0.5D,
+              |          element_at(embedding, i)))""".stripMargin).as("embedding"))
+    val out = Dedup.semanticDedupIncremental(existing, nearDup)
+    assert(out.count() == nearDup.count())
+    assert(out.filter(col("dropped")).count() > 0)
+    assert(out.queryExecution.executedPlan.toString.contains("ExistingRDD"))
+  }
+
   test("dedup: window fingerprints catch verbatim runs across different docs") {
     import graft.operators.Dedup
     import spark.implicits._
