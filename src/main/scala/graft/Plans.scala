@@ -191,6 +191,10 @@ object Plans {
           fmt(Dedup.semanticDedupIncremental(base,
             base.select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))))
         }),
+      ("Chat-template render + loss-mask spans (conv_render / conv_spans)",
+        "render: ONE partial-agg groupBy(conv_id) (ObjectHashAggregate, partial_collect_list map-side); the ordered concat is an expression over the aggregate, per-group state O(conv turns); spans: one running-sum Window on the SAME conv_id partitioning — composed render+spans reuses the Exchange",
+        fmt(Transcripts.convRender(Transcripts.rawTurns(spark, sfDir))) + "\n" +
+          fmt(Transcripts.convSpans(Transcripts.rawTurns(spark, sfDir)))),
       ("Exact media dedup (binary column, codec-free)",
         "md5 of the payload bytes computed MAP-SIDE inside the partial HashAggregate: the one Exchange carries (kind, 32-hex digest, partial count) rows — the media bytes never shuffle",
         fmt(graft.operators.Multimodal.mediaDedup(

@@ -75,6 +75,20 @@ object SparkEntry {
         .orderBy("stratum")
     }),
 
+    // chat-template RENDERING: each conversation flattened into one
+    // SFT training sample (turns in turn_idx order) with loss-mask char
+    // accounting; one partial-agg groupBy(conv_id)
+    "conv_render" -> ((s, dir) =>
+      Transcripts.convRender(Transcripts.rawTurns(s, dir))
+        .orderBy("conv_id")),
+
+    // loss-mask span offsets for the rendered samples: per turn, the
+    // [start_char, end_char) range inside the flattened sample and the
+    // trainable flag (assistant spans only); one conv_id window
+    "conv_spans" -> ((s, dir) =>
+      Transcripts.convSpans(Transcripts.rawTurns(s, dir))
+        .orderBy("conv_id", "turn_idx")),
+
     "o11_extract_html" -> ((s, dir) => {
       import s.implicits._
       Transcripts.documents(s, dir)
@@ -680,6 +694,47 @@ object SparkEntry {
            |SELECT stratum, CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
            |  CAST(count(*) AS BIGINT) AS n_turns
            |FROM j GROUP BY stratum ORDER BY stratum""".stripMargin,
+
+      "conv_render" ->
+        s"""WITH t AS (
+           |  SELECT
+           |    'conv-' || lpad(CAST(doc_id % ${Transcripts.Conversations} AS VARCHAR), 4, '0') AS conv_id,
+           |    CAST(doc_id // ${Transcripts.Conversations} AS INTEGER) AS turn_idx,
+           |    CASE WHEN doc_id % 3 = 0 THEN 'user'
+           |         WHEN doc_id % 3 = 1 THEN 'assistant' ELSE 'tool' END AS role,
+           |    text
+           |  FROM documents),
+           |r AS (
+           |  SELECT conv_id, turn_idx, role,
+           |    '<|' || role || '|>' || chr(10) || text || chr(10) AS r
+           |  FROM t)
+           |SELECT conv_id, count(*) AS n_turns,
+           |  string_agg(r, '' ORDER BY turn_idx) AS sample,
+           |  CAST(sum(CASE WHEN role = 'assistant' THEN length(r) ELSE 0 END) AS BIGINT)
+           |    AS trainable_chars,
+           |  CAST(sum(length(r)) AS BIGINT) AS total_chars
+           |FROM r GROUP BY conv_id ORDER BY conv_id""".stripMargin,
+
+      "conv_spans" ->
+        s"""WITH t AS (
+           |  SELECT
+           |    'conv-' || lpad(CAST(doc_id % ${Transcripts.Conversations} AS VARCHAR), 4, '0') AS conv_id,
+           |    CAST(doc_id // ${Transcripts.Conversations} AS INTEGER) AS turn_idx,
+           |    CASE WHEN doc_id % 3 = 0 THEN 'user'
+           |         WHEN doc_id % 3 = 1 THEN 'assistant' ELSE 'tool' END AS role,
+           |    text
+           |  FROM documents),
+           |r AS (
+           |  SELECT conv_id, turn_idx, role,
+           |    '<|' || role || '|>' || chr(10) || text || chr(10) AS r
+           |  FROM t)
+           |SELECT conv_id, turn_idx, role,
+           |  CAST(sum(length(r)) OVER w - length(r) AS BIGINT) AS start_char,
+           |  CAST(sum(length(r)) OVER w AS BIGINT) AS end_char,
+           |  role = 'assistant' AS trainable
+           |FROM r
+           |WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+           |ORDER BY conv_id, turn_idx""".stripMargin,
 
       "o11_extract_html" ->
         "SELECT doc_id, text FROM documents ORDER BY doc_id",

@@ -205,6 +205,85 @@ object Transcripts {
       .drop("rn")
   }
 
+  /** The transcript key/role derivation over `documents` WITHOUT the
+    * payload-class text wrapping — raw document text as the turn text.
+    * This is the post-extraction shape ([[fromDocuments]] feeds the
+    * extraction pipeline; its OUTPUT — clean per-turn text — is what the
+    * training-side operators consume), and the SQL-twin derivation stays
+    * three expressions instead of replaying the whole payload mix.
+    */
+  def rawTurns(spark: SparkSession, sfDir: String): DataFrame =
+    documents(spark, sfDir).select(
+      concat(lit("conv-"), lpad(pmod(col("doc_id"), lit(Conversations)).cast("string"), 4, "0"))
+        .as("conv_id"),
+      expr(s"CAST(doc_id DIV $Conversations AS INT)").as("turn_idx"),
+      when(pmod(col("doc_id"), lit(3)) === 0, "user")
+        .when(pmod(col("doc_id"), lit(3)) === 1, "assistant")
+        .otherwise("tool").as("role"),
+      col("text"))
+
+  /** One turn in chat-template form: `<|role|>\ntext\n` — the
+    * role-delimited rendering every SFT/chat fine-tune flattens its
+    * conversations into before tokenization. A pure codegen'd concat.
+    */
+  def renderTurn(role: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit("<|"), role, lit("|>\n"), text, lit("\n"))
+
+  /** Chat-template RENDERING — flatten each conversation into ONE
+    * training sample: turns rendered via [[renderTurn]] and concatenated
+    * in `turn_idx` order, with the loss-mask accounting every SFT
+    * pipeline needs (`trainable_chars` = chars inside assistant spans —
+    * the only spans a chat fine-tune computes loss on; `total_chars` =
+    * the full sample length; the per-span offsets live in [[convSpans]]).
+    *
+    * Plan shape: ONE partial-agg groupBy(conv_id) — `collect_list`
+    * aggregates partially map-side (ObjectHashAggregate), the ordered
+    * concatenation is an expression OVER the aggregate (array_sort by
+    * the embedded turn_idx, then join), so per-group state is O(turns in
+    * one conversation) — bounded by the conv-cap curation upstream
+    * ([[convCap]]), never corpus-scale. At 10^12 turns this is one
+    * shuffle of (conv_id, partial turn lists) and nothing else.
+    */
+  def convRender(t: DataFrame): DataFrame = {
+    val r = renderTurn(col("role"), col("text"))
+    t.select(col("conv_id"), col("turn_idx"), col("role"), r.as("r"))
+      .groupBy("conv_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_turns"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("turn_idx"), col("r")))),
+            x => x.getField("r")),
+          "").as("sample"),
+        sum(when(col("role") === "assistant", length(col("r")).cast("long"))
+          .otherwise(0L)).as("trainable_chars"),
+        sum(length(col("r")).cast("long")).as("total_chars"))
+  }
+
+  /** Loss-mask SPAN OFFSETS for [[convRender]]'s samples: for every turn,
+    * the half-open char range `[start_char, end_char)` its rendered form
+    * occupies inside the conversation's flattened sample, and whether the
+    * span is `trainable` (assistant turns only — the chat-SFT loss mask).
+    * The coherence law `substring(sample, start_char, len) == rendered
+    * turn` is spec-pinned against [[convRender]].
+    *
+    * Plan shape: one running-sum window partitioned by conv_id ordered by
+    * turn_idx — the SAME (conv_id) hash partitioning [[convRender]]'s
+    * groupBy uses, so a composed render+spans job pays the Exchange once
+    * (exchange reuse). A conversation's turns always fit one partition
+    * (conv-cap bounded), so the window never spills.
+    */
+  def convSpans(t: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("conv_id").orderBy("turn_idx")
+    t.select(col("conv_id"), col("turn_idx"), col("role"),
+        length(renderTurn(col("role"), col("text"))).cast("long").as("len"))
+      .select(col("conv_id"), col("turn_idx"), col("role"),
+        (sum(col("len")).over(w) - col("len")).as("start_char"),
+        sum(col("len")).over(w).as("end_char"),
+        (col("role") === "assistant").as("trainable"))
+  }
+
   def convFilter(t: DataFrame, minTurns: Int = 2, maxToolShare: Double = 0.8): DataFrame = {
     val keep = t.groupBy("conv_id")
       .agg(count(lit(1)).as("n_turns"),

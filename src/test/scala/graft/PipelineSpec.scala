@@ -1679,6 +1679,37 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.queryExecution.executedPlan.toString.contains("ExistingRDD"))
   }
 
+  test("conv: render/span coherence — every span slices the sample to its rendered turn") {
+    val t = Transcripts.rawTurns(spark, sfDir)
+    val render = Transcripts.convRender(t)
+    val spans = Transcripts.convSpans(t)
+    // coherence law: substring(sample, start_char, len) == rendered turn
+    val sliced = spans.select("conv_id", "turn_idx", "start_char", "end_char")
+      .join(render.select("conv_id", "sample"), Seq("conv_id"))
+      .join(t, Seq("conv_id", "turn_idx"))
+      .withColumn("slice", expr(
+        "substring(sample, CAST(start_char AS INT) + 1, CAST(end_char - start_char AS INT))"))
+      .withColumn("expected", Transcripts.renderTurn(col("role"), col("text")))
+    assert(sliced.filter(col("slice") =!= col("expected")).count() == 0)
+    // spans tile each sample exactly: min start 0, max end == total_chars,
+    // and assistant span lengths sum to trainable_chars
+    val agg = spans.groupBy("conv_id").agg(
+        min(col("start_char")).as("s"), max(col("end_char")).as("e"),
+        sum(when(col("trainable"), col("end_char") - col("start_char"))
+          .otherwise(0L)).as("tc"))
+      .join(render, Seq("conv_id"))
+    assert(agg.filter(col("s") =!= 0L || col("e") =!= col("total_chars")
+      || col("tc") =!= col("trainable_chars")).count() == 0)
+    // plan: render is ONE partial-agg Exchange; spans one Exchange + Window
+    val rp = render.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllMatchIn(rp).length == 1, s"plan:\n$rp")
+    assert(rp.contains("ObjectHashAggregate") && rp.contains("partial_collect_list"),
+      s"plan:\n$rp")
+    val sp = spans.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllMatchIn(sp).length == 1 && sp.contains("Window"),
+      s"plan:\n$sp")
+  }
+
   test("dedup: window fingerprints catch verbatim runs across different docs") {
     import graft.operators.Dedup
     import spark.implicits._
