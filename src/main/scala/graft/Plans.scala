@@ -195,6 +195,11 @@ object Plans {
         "render: ONE partial-agg groupBy(conv_id) (ObjectHashAggregate, partial_collect_list map-side); the ordered concat is an expression over the aggregate, per-group state O(conv turns); spans: one running-sum Window on the SAME conv_id partitioning — composed render+spans reuses the Exchange",
         fmt(Transcripts.convRender(Transcripts.rawTurns(spark, sfDir))) + "\n" +
           fmt(Transcripts.convSpans(Transcripts.rawTurns(spark, sfDir)))),
+      ("Per-domain cap (rate form, skew-free)",
+        "the ONLY hash shuffle is the tiny (host, partial count) agg; the O(domains) rate table BROADCASTS back; kept decided map-side from the salted hash — no per-domain window, so a mega-domain never lands in one task",
+        fmt(Sampling.domainCap(doc.select(col("doc_id"),
+          org.apache.spark.sql.functions.concat(col("source"),
+            org.apache.spark.sql.functions.lit(".example.com")).as("host"))))),
       ("Exact media dedup (binary column, codec-free)",
         "md5 of the payload bytes computed MAP-SIDE inside the partial HashAggregate: the one Exchange carries (kind, 32-hex digest, partial count) rows — the media bytes never shuffle",
         fmt(graft.operators.Multimodal.mediaDedup(

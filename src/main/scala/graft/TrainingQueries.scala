@@ -304,6 +304,19 @@ object TrainingQueries {
     "sample_stratified" -> ((s, dir) =>
       Sampling.stratifiedSample(Transcripts.documents(s, dir)).orderBy("doc_id")),
 
+    // per-domain document cap in the skew-free RATE form: a mega-domain
+    // (every 4th doc lands on hub.example.com) keeps an expected `cap`
+    // docs via a deterministic Bernoulli at rate cap/n; small domains
+    // keep everything; the corpus never shuffles (tiny rate table
+    // broadcasts back)
+    "domain_cap" -> ((s, dir) => {
+      val host = when(pmod(col("doc_id"), lit(4)) === 0, lit("hub.example.com"))
+        .otherwise(concat(col("source"), lit(".example.com")))
+      Sampling.domainCap(
+          Transcripts.documents(s, dir).select(col("doc_id"), host.as("host")))
+        .orderBy("doc_id")
+    }),
+
     // deterministic fractional upweighting: epoch-style replication for
     // mixture weights > 1 (narrow explode, no shuffle)
     "sample_upweight" -> ((s, dir) =>
@@ -701,6 +714,25 @@ object TrainingQueries {
          |SELECT doc_id, predicted, u FROM h
          |WHERE u < $rateCase
          |ORDER BY doc_id""".stripMargin
+    },
+
+    "domain_cap" -> {
+      val cap = Sampling.domainCapDocs
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 4 = 0 THEN 'hub.example.com'
+         |         ELSE source || '.example.com' END AS host
+         |  FROM documents),
+         |n AS (
+         |  SELECT host, CAST(count(*) AS BIGINT) AS n_domain,
+         |    least(CAST(1.0 AS DOUBLE), CAST($cap AS DOUBLE) / count(*))
+         |      AS keep_rate
+         |  FROM d GROUP BY host)
+         |SELECT d.doc_id, d.host, n.n_domain, n.keep_rate,
+         |  CAST('0x' || substr(md5('graft-domain:' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+         |    * 1.0 / 4294967296 < n.keep_rate AS kept
+         |FROM d JOIN n ON d.host = n.host
+         |ORDER BY d.doc_id""".stripMargin
     },
 
     "sample_upweight" -> {

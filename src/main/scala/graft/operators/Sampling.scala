@@ -307,4 +307,42 @@ object Sampling {
       .withColumn("pos", row_number().over(w).cast("long"))
       .select(col("doc_id"), col("shard"), col("pos"))
   }
+
+  /** Default per-domain document cap for [[domainCap]]. */
+  val domainCapDocs = 25L
+
+  /** Per-DOMAIN document cap — the crawl-curation rule every web corpus
+    * applies (C4/RefinedWeb shape: no single host may dominate the
+    * mixture): a domain with `n <= cap` documents keeps them all; a
+    * larger domain keeps a deterministic Bernoulli sample at rate
+    * `cap / n`, so its expected contribution is exactly `cap`. The RATE
+    * form is chosen over an exact top-N window deliberately: a
+    * `row_number() OVER (PARTITION BY host)` puts a mega-domain's million
+    * documents in ONE task (the skew cliff), while the rate form decides
+    * keep/drop per row from a hash — no per-domain ordering anywhere.
+    *
+    * Scale shape: the CORPUS NEVER SHUFFLES. One partial-agg
+    * groupBy(host) builds the O(domains) count table (the shuffle carries
+    * (host, partial count) rows only), the rate table broadcasts back,
+    * and `kept` is decided map-side from `uniformHash(salt, doc_id)`.
+    * If the domain table outgrows broadcast (the web is ~10^8 registered
+    * domains — still broadcastable at ~GBs; beyond that) drop the hint
+    * and AQE falls back to a shuffle join of corpus vs tiny table.
+    * Deterministic and salt-keyed; `cap/n` is one correctly-rounded IEEE
+    * division, so the DuckDB twin matches bit-for-bit. Input needs
+    * `(doc_id, host)`; output one VERDICT row per document
+    * `(doc_id, host, n_domain, keep_rate, kept)` — callers filter on
+    * `kept` (the report form keeps the drop accounting auditable).
+    */
+  def domainCap(doc: DataFrame, cap: Long = domainCapDocs,
+      salt: String = "graft-domain"): DataFrame = {
+    val rates = doc.groupBy("host")
+      .agg(count(lit(1)).as("n_domain"))
+      .select(col("host"), col("n_domain"),
+        least(lit(1.0), lit(cap.toDouble) / col("n_domain").cast("double"))
+          .as("keep_rate"))
+    doc.join(broadcast(rates), Seq("host"))
+      .select(col("doc_id"), col("host"), col("n_domain"), col("keep_rate"),
+        (uniformHash(salt, col("doc_id")) < col("keep_rate")).as("kept"))
+  }
 }

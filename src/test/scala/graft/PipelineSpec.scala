@@ -1679,6 +1679,27 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.queryExecution.executedPlan.toString.contains("ExistingRDD"))
   }
 
+  test("sample: domain cap keeps small domains whole, thins the mega-domain; corpus never shuffles") {
+    import graft.operators.Sampling
+    val host = when(pmod(col("doc_id"), lit(4)) === 0, lit("hub.example.com"))
+      .otherwise(concat(col("source"), lit(".example.com")))
+    val d = Transcripts.documents(spark, sfDir).select(col("doc_id"), host.as("host"))
+    val out = Sampling.domainCap(d, cap = 5L)
+    // one verdict row per document; small domains (n <= cap) keep all
+    assert(out.count() == d.count())
+    assert(out.filter(col("n_domain") <= 5 && !col("kept")).count() == 0)
+    // the mega-domain is thinned (rate cap/n) but not emptied
+    val hub = out.filter(col("host") === "hub.example.com")
+    val (hubN, hubKept) = (hub.count(), hub.filter(col("kept")).count())
+    assert(hubN > 5 && hubKept > 0 && hubKept < hubN)
+    // plan: the ONLY hash shuffle is the tiny (host, count) partial agg;
+    // the rate table broadcasts back onto the corpus
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllMatchIn(plan).length == 1,
+      s"plan:\n$plan")
+  }
+
   test("conv: render/span coherence — every span slices the sample to its rendered turn") {
     val t = Transcripts.rawTurns(spark, sfDir)
     val render = Transcripts.convRender(t)
