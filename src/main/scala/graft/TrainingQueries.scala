@@ -352,6 +352,21 @@ object TrainingQueries {
     "dedup_window_fp" -> ((s, dir) =>
       Dedup.windowDupPairs(Transcripts.documents(s, dir)).orderBy("a_id", "b_id")),
 
+    // cross-document SPAN dedup with text rewrite: every 10-token block
+    // keeps its first corpus-wide occurrence; borrower docs (injected:
+    // first-10-token copy of every 5th doc + a unique tail) lose the
+    // borrowed span, keep their own prose
+    "dedup_span" -> ((s, dir) => {
+      val d = Transcripts.documents(s, dir).select(col("doc_id"), col("text"))
+      val borrow = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(
+            array_join(slice(split(col("text"), " "), 1, Dedup.spanTokens), " "),
+            lit(" fresh content from borrower "),
+            (col("doc_id") + 2000000L).cast("string")).as("text"))
+      Dedup.spanDedup(d.unionAll(borrow)).orderBy("doc_id")
+    }),
+
     // context packing: prefix-sum pack assignment within (language, shard)
     // strata — one shuffle, shard-local contexts by construction
     "pack_contexts" -> ((s, dir) =>
@@ -842,6 +857,38 @@ object TrainingQueries {
          |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          |FROM w a JOIN w b ON a.wfp = b.wfp AND a.doc_id < b.doc_id
          |ORDER BY a_id, b_id""".stripMargin
+    },
+
+    "dedup_span" -> {
+      val w = Dedup.spanTokens
+      s"""WITH base AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 2000000,
+         |    array_to_string(list_slice(string_split(text, ' '), 1, $w), ' ')
+         |      || ' fresh content from borrower ' || CAST(doc_id + 2000000 AS VARCHAR)
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |b AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |    array_to_string(list_slice(string_split(text, ' '),
+         |      i * $w + 1, i * $w + $w), ' ') AS block
+         |  FROM base, unnest(range(0,
+         |    ((len(string_split(text, ' ')) - 1) // $w) + 1)) AS t(i)),
+         |bh AS (SELECT doc_id, pos, block, md5(block) AS h FROM b),
+         |k AS (
+         |  SELECT h, doc_id AS k_doc, pos AS k_pos FROM (
+         |    SELECT h, doc_id, pos,
+         |      row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+         |    FROM bh) WHERE rn = 1),
+         |j AS (
+         |  SELECT bh.doc_id, bh.pos, bh.block,
+         |    (bh.doc_id = k.k_doc AND bh.pos = k.k_pos) AS kept
+         |  FROM bh JOIN k ON bh.h = k.h)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+         |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  coalesce(string_agg(CASE WHEN kept THEN block END, ' ' ORDER BY pos), '')
+         |    AS text_dedup
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
     "pack_contexts" ->

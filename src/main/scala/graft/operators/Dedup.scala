@@ -1228,4 +1228,61 @@ object Dedup {
       .select(col("vec_id"), col("cell"), col("centroid_cos"),
         coalesce(col("d"), lit(false)).as("dropped"))
   }
+
+  /** Block width (in whitespace tokens) for [[spanDedup]]. */
+  val spanTokens = 10
+
+  /** Cross-document SPAN dedup with text REWRITE — the substring-dedup
+    * family member (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better") at fixed block granularity: documents are
+    * cut into consecutive [[spanTokens]]-token blocks, every block keeps
+    * exactly its FIRST occurrence corpus-wide (min `(doc_id, pos)`), and
+    * each document is REASSEMBLED from its surviving blocks — so a doc
+    * that verbatim-borrows a paragraph keeps its own prose and loses only
+    * the borrowed span. This differs from the doc-level family (exact /
+    * minhash / winnowed flag whole documents): the unit of removal is the
+    * span, and the corpus text itself is rewritten.
+    *
+    * Tiling law (spec-pinned): a document that keeps every block
+    * reassembles to its exact original text — blocks tile the token
+    * stream. Within-doc repeated blocks dedup the same way (first
+    * instance wins).
+    *
+    * Plan shape, all equi-keyed (no all-pairs anywhere):
+    *   1. narrow posexplode of each doc into O(tokens/spanTokens) blocks;
+    *   2. keeper table: groupBy(md5(block)) with a min-struct partial agg
+    *      — the skew-safe form (a boilerplate block repeated 10^9 times
+    *      collapses map-side; a `row_number` window would put those 10^9
+    *      rows in ONE task);
+    *   3. equi-join blocks back on the hash (AQE handles hot block keys),
+    *      keep iff this instance IS the keeper;
+    *   4. one groupBy(doc_id) reassembles surviving blocks in pos order
+    *      (the [[graft.spark.Transcripts.convRender]] ordered-concat
+    *      shape, per-group state O(blocks in one doc)).
+    * Only the keeper join ships block TEXT; the keeper table itself
+    * carries (hash, doc_id, pos) — 32-hex + two longs per distinct block.
+    * Output: `(doc_id, n_blocks, n_kept, text_dedup)` — one row per doc.
+    */
+  def spanDedup(doc: DataFrame): DataFrame = {
+    val blocks = doc
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, CAST((size(split(text, ' ')) - 1) DIV $spanTokens AS INT)),
+           |  i -> array_join(slice(split(text, ' '), i * $spanTokens + 1, $spanTokens), ' '))"""
+          .stripMargin)).as(Seq("pos", "block")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("block"),
+        md5(col("block")).as("h"))
+    val keepers = blocks.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("keeper"))
+      .select(col("h"), col("keeper.doc_id").as("k_doc"), col("keeper.pos").as("k_pos"))
+    blocks.join(keepers, Seq("h"))
+      .withColumn("kept", col("doc_id") === col("k_doc") && col("pos") === col("k_pos"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_blocks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(when(col("kept"),
+            struct(col("pos"), col("block"))))),
+            x => x.getField("block")),
+          " ").as("text_dedup"))
+  }
 }

@@ -1679,6 +1679,38 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.queryExecution.executedPlan.toString.contains("ExistingRDD"))
   }
 
+  test("dedup: span rewrite drops the borrowed paragraph, keeps the borrower's own prose") {
+    import graft.operators.Dedup
+    val d = Transcripts.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    // tiling law: a doc that keeps every block reassembles to its exact
+    // original text; the corpus's natural near-dup docs ("dup dup dup"
+    // tail family) genuinely lose their repeated spans
+    val clean = Dedup.spanDedup(d).join(d, Seq("doc_id"))
+    val full = clean.filter(col("n_kept") === col("n_blocks"))
+    assert(full.count() > 0)
+    assert(full.filter(col("text_dedup") =!= col("text")).count() == 0)
+    assert(clean.filter(col("n_kept") < col("n_blocks")).count() > 0)
+    // borrowers: first block is a verbatim copy of an original's first
+    // block (dropped); the unique tail survives
+    val borrow = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(
+          array_join(slice(split(col("text"), " "), 1, Dedup.spanTokens), " "),
+          lit(" fresh content from borrower "),
+          (col("doc_id") + 2000000L).cast("string")).as("text"))
+    val out = Dedup.spanDedup(d.unionAll(borrow))
+    val borrowers = out.filter(col("doc_id") >= 2000000L)
+    assert(borrowers.count() > 0)
+    assert(borrowers.filter(col("n_kept") =!= col("n_blocks") - 1).count() == 0)
+    assert(borrowers.filter(col("text_dedup") =!= concat(
+      lit("fresh content from borrower "), col("doc_id").cast("string"))).count() == 0)
+    // plan: keeper is a skew-safe partial min-struct agg; no cartesian
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min"), s"plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin")
+      && !plan.contains("CartesianProduct"), s"plan:\n$plan")
+  }
+
   test("sample: domain cap keeps small domains whole, thins the mega-domain; corpus never shuffles") {
     import graft.operators.Sampling
     val host = when(pmod(col("doc_id"), lit(4)) === 0, lit("hub.example.com"))
