@@ -195,6 +195,9 @@ object Plans {
         "render: ONE partial-agg groupBy(conv_id) (ObjectHashAggregate, partial_collect_list map-side); the ordered concat is an expression over the aggregate, per-group state O(conv turns); spans: one running-sum Window on the SAME conv_id partitioning — composed render+spans reuses the Exchange",
         fmt(Transcripts.convRender(Transcripts.rawTurns(spark, sfDir))) + "\n" +
           fmt(Transcripts.convSpans(Transcripts.rawTurns(spark, sfDir)))),
+      ("Contamination scoring (decontaminate_score)",
+        "ONE corpus scan: narrow shingle explode -> broadcast eval-set LEFT join decides hits map-side -> one partial-agg groupBy(doc_id); the only other Exchange is the tiny eval distinct",
+        fmt(Sampling.contaminationScore(doc, Sampling.evalHoldout(doc)))),
       ("Span dedup with text rewrite (dedup_span)",
         "narrow posexplode into 10-token blocks -> keeper = skew-safe partial MIN-STRUCT groupBy on the block hash (a row_number window would serialize a boilerplate block's 10^9 instances into one task) -> hash equi-join back (AQE skew-handled) -> one groupBy(doc_id) ordered reassembly",
         fmt(Dedup.spanDedup(doc.select(col("doc_id"), col("text"))))),

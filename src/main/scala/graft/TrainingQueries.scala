@@ -381,6 +381,15 @@ object TrainingQueries {
         .orderBy("doc_id")
     }),
 
+    // contamination SCORING: per-doc fraction of distinct shingles found
+    // in the eval set (broadcast map-side join + one groupBy(doc_id));
+    // eval members themselves score 1.0, their near-dups score high
+    "decontaminate_score" -> ((s, dir) => {
+      val doc = Transcripts.documents(s, dir)
+      Sampling.contaminationScore(doc, Sampling.evalHoldout(doc))
+        .orderBy("doc_id")
+    }),
+
     // incremental (ingestion-time) dedup: drop incoming docs duplicating
     // the existing corpus by content hash OR any minhash band bucket —
     // three equi-joins against the corpus's materialized artifacts
@@ -1210,6 +1219,29 @@ object TrainingQueries {
          |FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
          |ORDER BY doc_id""".stripMargin,
+
+    "decontaminate_score" -> {
+      val thr = Sampling.contaminationThreshold
+      s"""WITH ev AS (
+         |  SELECT DISTINCT unnest($duckShingles) AS shingle
+         |  FROM documents
+         |  WHERE doc_id % 97 = 0 AND len(string_split(text, ' ')) >= 3),
+         |tr AS (
+         |  SELECT doc_id, unnest($duckShingles) AS shingle
+         |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+         |g AS (
+         |  SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |    CAST(sum(CASE WHEN ev.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_hits
+         |  FROM tr LEFT JOIN ev USING (shingle) GROUP BY tr.doc_id),
+         |c AS (
+         |  SELECT doc_id, n_shingles, n_hits,
+         |    round(n_hits * 1.0 / n_shingles, 6) AS contamination
+         |  FROM g)
+         |SELECT doc_id, n_shingles, n_hits, contamination,
+         |  contamination >= $thr AS flagged
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
 
     "data_prep_e2e" -> {
       import graft.operators.Packing.{chunkTokens, chunkStride}

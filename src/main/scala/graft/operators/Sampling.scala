@@ -280,6 +280,47 @@ object Sampling {
   def evalHoldout(doc: DataFrame): DataFrame =
     doc.filter(pmod(col("doc_id"), lit(97)) === 0)
 
+  /** Flagging threshold for [[contaminationScore]]. */
+  val contaminationThreshold = 0.2
+
+  /** Contamination SCORING — the graded companion of [[decontaminate]]'s
+    * binary drop: per document, the FRACTION of its distinct 3-gram
+    * shingles that appear in the eval set. Real releases publish exactly
+    * this (how contaminated was the corpus, how sharp the cutoff), and a
+    * threshold-flag rather than a hard drop lets the pipeline audit the
+    * gray zone (a doc quoting one benchmark question scores low; a
+    * verbatim eval copy scores ~1.0).
+    *
+    * Scale shape: ONE corpus scan — shingles explode narrowly, the
+    * broadcast eval set left-joins MAP-SIDE (hit flag, no corpus
+    * shuffle), and one partial-agg groupBy(doc_id) folds (total, hits)
+    * counts; `explode_outer` keeps too-short docs (no shingles) in the
+    * report with contamination 0. Same broadcast-boundedness argument as
+    * [[decontaminate]]: the eval set is benchmark-sized, never
+    * corpus-sized. Output: one row per doc
+    * `(doc_id, n_shingles, n_hits, contamination, flagged)`.
+    */
+  def contaminationScore(doc: DataFrame, evalDocs: DataFrame,
+      threshold: Double = contaminationThreshold): DataFrame = {
+    val evalShingles = evalDocs
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(explode(Dedup.shingles(col("text"))).as("shingle"))
+      .distinct()
+      .withColumn("hit", lit(1L))
+    val grams = when(size(split(col("text"), " ")) >= 3,
+      Dedup.shingles(col("text"))).otherwise(expr("CAST(array() AS ARRAY<STRING>)"))
+    doc.select(col("doc_id"), explode_outer(grams).as("shingle"))
+      .join(broadcast(evalShingles), Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(count(col("shingle")).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("doc_id"), col("n_shingles"), col("n_hits"),
+        when(col("n_shingles") > 0,
+          round(col("n_hits").cast("double") / col("n_shingles").cast("double"), 6))
+          .otherwise(lit(0.0)).as("contamination"))
+      .withColumn("flagged", col("contamination") >= threshold)
+  }
+
   /** Shard count for [[shuffleOrder]] — at 10^12 docs this rises to
     * O(10^4-10^5) so each shard's sort fits one task's memory.
     */

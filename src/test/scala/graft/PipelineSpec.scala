@@ -1679,6 +1679,28 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.queryExecution.executedPlan.toString.contains("ExistingRDD"))
   }
 
+  test("sample: contamination score grades eval members 1.0 and agrees with the binary drop") {
+    import graft.operators.Sampling
+    val doc = Transcripts.documents(spark, sfDir)
+    val ev = Sampling.evalHoldout(doc)
+    val out = Sampling.contaminationScore(doc, ev)
+    assert(out.count() == doc.count())
+    // eval members are verbatim in the eval set -> contamination 1.0
+    assert(out.join(ev.select("doc_id"), Seq("doc_id"))
+      .filter(col("contamination") =!= 1.0 || !col("flagged")).count() == 0)
+    // agreement law: decontaminate keeps exactly the n_hits == 0 docs
+    val keptBinary = Sampling.decontaminate(doc, ev).select("doc_id")
+    val keptScore = out.filter(col("n_hits") === 0).select("doc_id")
+    assert(keptBinary.exceptAll(keptScore).count() == 0
+      && keptScore.exceptAll(keptBinary).count() == 0)
+    // plan: eval set broadcasts (map-side hit join); the only corpus-side
+    // hash shuffle is the doc_id agg (the other is the tiny eval distinct)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllMatchIn(plan).length == 2,
+      s"plan:\n$plan")
+  }
+
   test("dedup: span rewrite drops the borrowed paragraph, keeps the borrower's own prose") {
     import graft.operators.Dedup
     val d = Transcripts.documents(spark, sfDir).select(col("doc_id"), col("text"))
