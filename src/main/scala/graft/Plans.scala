@@ -195,6 +195,9 @@ object Plans {
         "render: ONE partial-agg groupBy(conv_id) (ObjectHashAggregate, partial_collect_list map-side); the ordered concat is an expression over the aggregate, per-group state O(conv turns); spans: one running-sum Window on the SAME conv_id partitioning — composed render+spans reuses the Exchange",
         fmt(Transcripts.convRender(Transcripts.rawTurns(spark, sfDir))) + "\n" +
           fmt(Transcripts.convSpans(Transcripts.rawTurns(spark, sfDir)))),
+      ("Product quantization: encode + ADC top-k (ann_pq_*)",
+        "encode: ZERO-Exchange narrow map — 8x16 distance table against the plan-literal codebook (136 native vecDot kernels/row, one codegen'd projection) -> argmin nibbles; ADC: per-query 8x16 LUT precomputed on the tiny broadcast side, each database vector costs 8 lookups + 7 adds over its codes — raw vectors never rescanned",
+        fmt(Similarity.pqEncode(emb)) + "\n" + fmt(Similarity.pqTopK(emb))),
       ("Contamination scoring (decontaminate_score)",
         "ONE corpus scan: narrow shingle explode -> broadcast eval-set LEFT join decides hits map-side -> one partial-agg groupBy(doc_id); the only other Exchange is the tiny eval distinct",
         fmt(Sampling.contaminationScore(doc, Sampling.evalHoldout(doc)))),

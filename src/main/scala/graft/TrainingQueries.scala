@@ -23,6 +23,50 @@ object TrainingQueries {
     s"($dot) / sqrt(($na) * ($nb))"
   }
 
+  /** Shared DuckDB CTE chain for product quantization: doubles view `e`,
+    * per-subspace codebook `cb2` (first-[[Similarity.pqCodes]] vectors,
+    * sliced), per-(vec, subspace) subvectors+norms `xx`, full distance
+    * table `d` (op order `((x2 - 2*dot) + c2)` — the Spark expansion
+    * verbatim, `list_sum` = the sequential VecKernel), and the argmin
+    * `codes` (row_number tiebreak on code = Spark's first-occurrence
+    * array_position).
+    */
+  private def duckPqCtes: String = {
+    val m = Similarity.pqSubspaces
+    val sd = Similarity.pqSubDim
+    val k = Similarity.pqCodes
+    s"""e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |cb AS (
+       |  SELECT c.vec_id AS code, CAST(t.j AS INTEGER) AS j,
+       |    list_slice(c.emb, t.j * $sd + 1, t.j * $sd + $sd) AS cs
+       |  FROM (SELECT * FROM e WHERE vec_id < $k) c,
+       |    unnest(range(0, $m)) AS t(j)),
+       |cb2 AS (
+       |  SELECT code, j, cs,
+       |    list_sum(list_transform(range(1, ${sd + 1}), i -> cs[i] * cs[i])) AS c2
+       |  FROM cb),
+       |x AS (
+       |  SELECT e.vec_id, CAST(t.j AS INTEGER) AS j,
+       |    list_slice(e.emb, t.j * $sd + 1, t.j * $sd + $sd) AS xs
+       |  FROM e, unnest(range(0, $m)) AS t(j)),
+       |xx AS (
+       |  SELECT vec_id, j, xs,
+       |    list_sum(list_transform(range(1, ${sd + 1}), i -> xs[i] * xs[i])) AS x2
+       |  FROM x),
+       |d AS (
+       |  SELECT x.vec_id, x.j, cb2.code,
+       |    ((x.x2 - 2 * list_sum(list_transform(range(1, ${sd + 1}),
+       |      i -> x.xs[i] * cb2.cs[i]))) + cb2.c2) AS dist
+       |  FROM xx x JOIN cb2 ON x.j = cb2.j),
+       |a AS (
+       |  SELECT vec_id, j, code,
+       |    row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, code) AS rn
+       |  FROM d),
+       |codes AS (SELECT vec_id, j, code FROM a WHERE rn = 1)""".stripMargin
+  }
+
   /** DuckDB fragment: `iters` chained fixed-point Lloyd iterations over
     * relation `src(vec_id, embCol)`, starting from the first-K seed
     * (`cent0`) and ending at `cent<iters>` — each iteration is the
@@ -511,6 +555,20 @@ object TrainingQueries {
     "ann_recall" -> ((s, dir) =>
       Similarity.annRecall(s.read.parquet(s"$dir/embeddings.parquet"))
         .orderBy("method", "query_id")),
+
+    // product-quantization encoding: 8 subspaces x 16 codes -> one packed
+    // BIGINT per vector (the 8-byte artifact a 100 TB corpus persists);
+    // zero-Exchange narrow map against the plan-literal codebook
+    "ann_pq_encode" -> ((s, dir) =>
+      Similarity.pqEncode(s.read.parquet(s"$dir/embeddings.parquet"))
+        .orderBy("vec_id")),
+
+    // asymmetric-distance (ADC) top-k over the PQ codes: per-query 8x16
+    // LUT precomputed on the broadcast side, 8 lookups + 7 adds per
+    // database vector
+    "ann_pq_topk" -> ((s, dir) =>
+      Similarity.pqTopK(s.read.parquet(s"$dir/embeddings.parquet"))
+        .orderBy("query_id", "rank")),
 
     // Composed end-to-end training-data pipeline over the dup-injected
     // corpus: exact dedup (keep smallest id per content hash) -> NEAR-dup
@@ -1831,6 +1889,32 @@ object TrainingQueries {
          |${recallSelect("ivf_probe2", "probe3")}
          |ORDER BY method, query_id""".stripMargin
     },
+
+    "ann_pq_encode" ->
+      s"""WITH $duckPqCtes
+         |SELECT vec_id,
+         |  string_agg(CAST(code AS VARCHAR), '-' ORDER BY j) AS code,
+         |  CAST(sum(code * (CAST(1 AS BIGINT) << (4 * j))) AS BIGINT) AS code64
+         |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "ann_pq_topk" ->
+      s"""WITH $duckPqCtes,
+         |lut AS (
+         |  SELECT vec_id AS query_id, j, code, dist FROM d WHERE vec_id < 10),
+         |contrib AS (
+         |  SELECT l.query_id, c.vec_id AS neighbor_id, l.dist, c.j
+         |  FROM codes c JOIN lut l ON l.j = c.j AND l.code = c.code
+         |  WHERE c.vec_id != l.query_id),
+         |ad AS (
+         |  SELECT query_id, neighbor_id,
+         |    list_sum(list(dist ORDER BY j)) AS adist
+         |  FROM contrib GROUP BY query_id, neighbor_id),
+         |r AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
+         |  FROM ad)
+         |SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id, adist
+         |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "ann_ivf_topk_probe2" ->
       s"""WITH cent AS (

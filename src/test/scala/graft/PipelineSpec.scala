@@ -1679,6 +1679,42 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.queryExecution.executedPlan.toString.contains("ExistingRDD"))
   }
 
+  test("ann: PQ encoding is a zero-Exchange narrow map; ADC top-k tracks exact L2") {
+    import graft.operators.Similarity
+    import graft.spark.VectorFunctions.vecDot
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val enc = Similarity.pqEncode(emb)
+    assert(enc.count() == emb.count())
+    // codebook vector 0 is its own nearest sub-centroid in every subspace
+    assert(enc.filter(col("vec_id") === 0)
+      .select("code64").head.getLong(0) == 0L)
+    // code string and packed nibbles agree
+    assert(enc.filter(col("vec_id") === 0)
+      .select("code").head.getString(0) == "0-0-0-0-0-0-0-0")
+    // encoding happens at scan speed: zero Exchange
+    val plan = enc.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"plan:\n$plan")
+    // ADC overlaps the exact-L2 top-5 (untrained codebook on synthetic
+    // vectors distorts heavily; bit-exactness is the oracle's job, this
+    // pins "approximates the right metric, deterministically")
+    val pq = Similarity.pqTopK(emb)
+    assert(pq.count() == 50)
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val scored = q.join(
+        emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce")),
+        col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (vecDot(col("qe"), col("qe")) - lit(2.0) * vecDot(col("qe"), col("ce"))
+          + vecDot(col("ce"), col("ce"))).as("l2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("l2"), col("neighbor_id"))
+    val exact = scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+    val hits = pq.join(exact.select("query_id", "neighbor_id"),
+      Seq("query_id", "neighbor_id")).count()
+    assert(hits > 0, s"ADC found none of the exact-L2 top-5: $hits/50")
+  }
+
   test("sample: contamination score grades eval members 1.0 and agrees with the binary drop") {
     import graft.operators.Sampling
     val doc = Transcripts.documents(spark, sfDir)
