@@ -201,6 +201,9 @@ object Plans {
       ("Contamination scoring (decontaminate_score)",
         "ONE corpus scan: narrow shingle explode -> broadcast eval-set LEFT join decides hits map-side -> one partial-agg groupBy(doc_id); the only other Exchange is the tiny eval distinct",
         fmt(Sampling.contaminationScore(doc, Sampling.evalHoldout(doc)))),
+      ("Containment dedup (posting-list join, dedup_containment)",
+        "ONE shingle pass (checkpoint feeds postings AND sizes) -> groupBy(shingle) posting lists with the OBSERVABLE stop-gram df cap -> streamed in-bucket pairs (no flatten) -> groupBy(a,b) shared counts -> two size equi-joins; pair work bounded by sum of rare-bucket^2, the band-family bound",
+        fmt(Dedup.containmentPairs(doc.select(col("doc_id"), col("text"))))),
       ("Span dedup with text rewrite (dedup_span)",
         "narrow posexplode into 10-token blocks -> keeper = skew-safe partial MIN-STRUCT groupBy on the block hash (a row_number window would serialize a boilerplate block's 10^9 instances into one task) -> hash equi-join back (AQE skew-handled) -> one groupBy(doc_id) ordered reassembly",
         fmt(Dedup.spanDedup(doc.select(col("doc_id"), col("text"))))),

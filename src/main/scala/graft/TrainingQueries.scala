@@ -396,6 +396,20 @@ object TrainingQueries {
     "dedup_window_fp" -> ((s, dir) =>
       Dedup.windowDupPairs(Transcripts.documents(s, dir)).orderBy("a_id", "b_id")),
 
+    // asymmetric CONTAINMENT dedup (doc-inside-doc): injected superset
+    // docs (every 7th doc quoted whole + wrapper commentary) are caught
+    // at c_a_in_b = 1.0 even though their Jaccard is low; posting-list
+    // join with the stop-gram df cap
+    "dedup_containment" -> ((s, dir) => {
+      val d = Transcripts.documents(s, dir).select(col("doc_id"), col("text"))
+      val supers = d.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(col("text"),
+            lit(" plus wrapper commentary around the quoted source "),
+            (col("doc_id") + 3000000L).cast("string")).as("text"))
+      Dedup.containmentPairs(d.unionAll(supers)).orderBy("a_id", "b_id")
+    }),
+
     // cross-document SPAN dedup with text rewrite: every 10-token block
     // keeps its first corpus-wide occurrence; borrower docs (injected:
     // first-10-token copy of every 5th doc + a unique tail) lose the
@@ -923,6 +937,41 @@ object TrainingQueries {
          |  FROM wa)
          |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          |FROM w a JOIN w b ON a.wfp = b.wfp AND a.doc_id < b.doc_id
+         |ORDER BY a_id, b_id""".stripMargin
+    },
+
+    "dedup_containment" -> {
+      val cap = Dedup.containmentMaxDf
+      s"""WITH base AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 3000000,
+         |    text || ' plus wrapper commentary around the quoted source '
+         |      || CAST(doc_id + 3000000 AS VARCHAR)
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |g AS (
+         |  SELECT doc_id, $duckShingles AS grams
+         |  FROM base WHERE len(string_split(text, ' ')) >= 3),
+         |sz AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n FROM g),
+         |ex AS (SELECT doc_id, unnest(grams) AS shingle FROM g),
+         |post AS (SELECT shingle, count(*) AS df FROM ex GROUP BY shingle),
+         |pairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM ex a
+         |  JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  JOIN post p ON p.shingle = a.shingle
+         |  WHERE p.df <= $cap
+         |  GROUP BY a.doc_id, b.doc_id),
+         |c AS (
+         |  SELECT a_id, b_id, n_shared,
+         |    round(n_shared * 1.0 / sa.n, 6) AS c_a_in_b,
+         |    round(n_shared * 1.0 / sb.n, 6) AS c_b_in_a
+         |  FROM pairs
+         |  JOIN sz sa ON sa.doc_id = a_id
+         |  JOIN sz sb ON sb.doc_id = b_id)
+         |SELECT a_id, b_id, n_shared, c_a_in_b, c_b_in_a
+         |FROM c WHERE greatest(c_a_in_b, c_b_in_a) >= 0.5
          |ORDER BY a_id, b_id""".stripMargin
     },
 

@@ -1229,6 +1229,53 @@ object Dedup {
         coalesce(col("d"), lit(false)).as("dropped"))
   }
 
+  /** Stop-gram document-frequency cap for [[containmentPairs]] — a
+    * shingle appearing in more documents than this is boilerplate and
+    * generates no pairs (dropped OBSERVABLY, the [[minhashMaxBucket]]
+    * rule in posting-list form).
+    */
+  val containmentMaxDf = 100
+
+  /** Asymmetric CONTAINMENT dedup — the doc-inside-doc detector the
+    * Jaccard family is blind to: a short document quoted whole inside a
+    * long page has Jaccard ≈ |A|/|B| ≈ 0 (so MinHash bands rarely fire)
+    * but containment C(A,B) = |A∩B| / |A| = 1.0. Real pipelines run this
+    * alongside near-dup (quote farms, syndicated excerpts, scraped
+    * aggregators). Reports both directions plus the shared-shingle count;
+    * pairs below `minContainment` in BOTH directions are suppressed.
+    *
+    * Plan shape — the inverted-index (posting-list) join, all equi-keyed:
+    * ONE shingle pass (eager localCheckpoint feeds postings AND sizes),
+    * groupBy(shingle) posting lists with the stop-gram cap
+    * ([[containmentMaxDf]], `graft_caps_containment_*` observable — at
+    * 100 TB the cap is what bounds a boilerplate shingle's bucket),
+    * streamed in-bucket pair generation (O(bucket) transient, no
+    * flatten), one groupBy(a,b) counting shared shingles, two size joins.
+    * No all-pairs anywhere: pair work is O(sum of bucket² over RARE
+    * shingles), the same bound the band family lives under.
+    */
+  def containmentPairs(doc: DataFrame, minContainment: Double = 0.5): DataFrame = {
+    val g = doc.filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), shingles(col("text")).as("grams"))
+      .localCheckpoint(true)
+    val sizes = g.select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
+    val postings = g.select(explode(col("grams")).as("shingle"), col("doc_id"))
+      .groupBy("shingle")
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+    val shared = observeCapDrops(postings, "containment", size(col("ids")), containmentMaxDf)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= containmentMaxDf)
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a_id")))
+      .select(col("a_id"), explode(expr("slice(ids, i + 2, size(ids))")).as("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_grams").as("na")), Seq("a_id"))
+      .join(sizes.select(col("doc_id").as("b_id"), col("n_grams").as("nb")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("na").cast("double"), 6).as("c_a_in_b"),
+        round(col("n_shared").cast("double") / col("nb").cast("double"), 6).as("c_b_in_a"))
+      .filter(greatest(col("c_a_in_b"), col("c_b_in_a")) >= minContainment)
+  }
+
   /** Block width (in whitespace tokens) for [[spanDedup]]. */
   val spanTokens = 10
 

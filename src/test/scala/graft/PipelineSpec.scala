@@ -1737,6 +1737,33 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"plan:\n$plan")
   }
 
+  test("dedup: containment catches doc-inside-doc pairs Jaccard is blind to") {
+    import graft.operators.Dedup
+    val d = Transcripts.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val supers = d.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        concat(col("text"),
+          lit(" plus wrapper commentary around the quoted source "),
+          (col("doc_id") + 3000000L).cast("string")).as("text"))
+    val out = Dedup.containmentPairs(d.unionAll(supers))
+    // every injected (original, superset) pair is caught at FULL
+    // containment of the original — the direction Jaccard cannot see
+    val caught = out.filter(col("b_id") >= 3000000L
+      && col("a_id") === col("b_id") - 3000000L)
+    assert(caught.count() == supers.count())
+    assert(caught.filter(col("c_a_in_b") =!= 1.0).count() == 0)
+    // asymmetry is real: the superset is NOT contained in the original
+    assert(caught.filter(col("c_b_in_a") >= 1.0).count() == 0)
+    // one shingle pass (checkpoint feeds postings AND sizes); streamed
+    // pairs (no flatten); no cartesian
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("shingles3"), s"shingles recomputed per stage:\n$plan")
+    assert(!plan.contains("flatten("), s"plan:\n$plan")
+    val pplan = out.queryExecution.executedPlan.toString
+    assert(!pplan.contains("BroadcastNestedLoopJoin")
+      && !pplan.contains("CartesianProduct"), s"plan:\n$pplan")
+  }
+
   test("dedup: span rewrite drops the borrowed paragraph, keeps the borrower's own prose") {
     import graft.operators.Dedup
     val d = Transcripts.documents(spark, sfDir).select(col("doc_id"), col("text"))
