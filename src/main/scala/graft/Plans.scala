@@ -201,6 +201,9 @@ object Plans {
       ("Contamination scoring (decontaminate_score)",
         "ONE corpus scan: narrow shingle explode -> broadcast eval-set LEFT join decides hits map-side -> one partial-agg groupBy(doc_id); the only other Exchange is the tiny eval distinct",
         fmt(Sampling.contaminationScore(doc, Sampling.evalHoldout(doc)))),
+      ("BPE encoding with trained merges (text_bpe_apply)",
+        "the trained merge list rides the plan as chained replace literals (round order, cascading) — a pure ZERO-Exchange narrow map over the corpus; training's own cost is one tiny-key shuffle + a 1-row collect per round, upstream",
+        fmt(TextAnalysis.bpeApply(doc))),
       ("Containment dedup (posting-list join, dedup_containment)",
         "ONE shingle pass (checkpoint feeds postings AND sizes) -> groupBy(shingle) posting lists with the OBSERVABLE stop-gram df cap -> streamed in-bucket pairs (no flatten) -> groupBy(a,b) shared counts -> two size equi-joins; pair work bounded by sum of rare-bucket^2, the band-family bound",
         fmt(Dedup.containmentPairs(doc.select(col("doc_id"), col("text"))))),

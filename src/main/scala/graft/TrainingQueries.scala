@@ -290,6 +290,13 @@ object TrainingQueries {
       TextAnalysis.bpeTrain(Transcripts.documents(s, dir))
         .orderBy("round")),
 
+    // BPE ENCODING with the trained merges: replace literals applied in
+    // round order (cascading), a pure narrow map; n_merged counts applied
+    // occurrences, encoded_fp pins the encoded bytes
+    "text_bpe_apply" -> ((s, dir) =>
+      TextAnalysis.bpeApply(Transcripts.documents(s, dir))
+        .orderBy("doc_id")),
+
     // fixed-length chunking with overlap (narrow posexplode, no shuffle)
     "text_chunks" -> ((s, dir) =>
       Packing.chunkDocuments(Transcripts.documents(s, dir))
@@ -1103,6 +1110,8 @@ object TrainingQueries {
 
     "text_bpe_train" -> duckBpeTrainSql,
 
+    "text_bpe_apply" -> duckBpeApplySql,
+
     "quality_funnel" -> {
       val terms = TextAnalysis.blockedTerms.map(t => s"'$t'").mkString(", ")
       val srcs = TextAnalysis.blockedSources.map(s0 => s"'$s0'").mkString(", ")
@@ -1492,6 +1501,35 @@ object TrainingQueries {
        |FROM (
        |  $sel)
        |ORDER BY round""".stripMargin
+  }
+
+  /** [[duckBpeTrainSql]]'s CTE chain carried per-document (doc_id rides
+    * the d-chain, EVERY round's replace applied including the last) —
+    * the encoding twin.
+    */
+  private lazy val duckBpeApplySql: String = {
+    val rounds = TextAnalysis.bpeTrainRounds
+    val ctes = new StringBuilder("WITH d0 AS (SELECT doc_id, text FROM documents)")
+    for (r <- 1 to rounds) {
+      ctes.append(s""",
+        |w$r AS (SELECT unnest(string_split(text, ' ')) AS w FROM d${r - 1}),
+        |p$r AS (
+        |  SELECT pair, count(*) AS n FROM (
+        |    SELECT unnest(list_transform(range(1, len(w)), i -> substr(w, i, 2))) AS pair
+        |    FROM w$r WHERE len(w) >= 2)
+        |  GROUP BY 1),
+        |t$r AS (SELECT pair, n FROM p$r ORDER BY n DESC, pair LIMIT 1),
+        |d$r AS (
+        |  SELECT doc_id, replace(text, (SELECT pair FROM t$r), chr(${0xE000 + r})) AS text
+        |  FROM d${r - 1})""".stripMargin)
+    }
+    s"""${ctes.toString}
+       |SELECT d0.doc_id, CAST(length(d0.text) AS BIGINT) AS n_chars,
+       |  CAST(length(d$rounds.text) AS BIGINT) AS n_chars_encoded,
+       |  CAST(length(d0.text) - length(d$rounds.text) AS BIGINT) AS n_merged,
+       |  md5(d$rounds.text) AS encoded_fp
+       |FROM d0 JOIN d$rounds USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
   }
 
   private lazy val duckIncrementalSql: String =

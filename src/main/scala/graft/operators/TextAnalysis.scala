@@ -488,9 +488,14 @@ object TextAnalysis {
     * corpus once instead of re-applying the replace chain. Output: the
     * merge table `(round, pair, n)`.
     */
-  def bpeTrain(doc: DataFrame, rounds: Int = bpeTrainRounds): DataFrame = {
-    val spark = doc.sparkSession
-    import spark.implicits._
+  /** The merge symbol a given BPE round rewrites its pair to. */
+  def bpeSymbol(round: Int): String = new String(Array((0xE000 + round).toChar))
+
+  /** The collected merge list `(round, pair, n)` — the training loop
+    * itself, shared by [[bpeTrain]] (report form) and [[bpeApply]]
+    * (encoding form). One tiny-key shuffle + a 1-row collect per round.
+    */
+  def trainBpeMerges(doc: DataFrame, rounds: Int = bpeTrainRounds): Seq[(Int, String, Long)] = {
     var txt: Column = col("text")
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     for (r <- 1 to rounds) {
@@ -503,12 +508,39 @@ object TextAnalysis {
         .orderBy(col("n").desc, col("pair").asc)
         .limit(1).collect()(0)
       merges += ((r, top.getString(0), top.getLong(1)))
-      txt = replace(txt, lit(top.getString(0)),
-        lit(new String(Array((0xE000 + r).toChar))))
+      txt = replace(txt, lit(top.getString(0)), lit(bpeSymbol(r)))
     }
-    merges.toSeq.toDF("round", "pair", "n")
+    merges.toSeq
+  }
+
+  def bpeTrain(doc: DataFrame, rounds: Int = bpeTrainRounds): DataFrame = {
+    val spark = doc.sparkSession
+    import spark.implicits._
+    trainBpeMerges(doc, rounds).toDF("round", "pair", "n")
       .select(col("round").cast("int").as("round"), col("pair"),
         col("n").cast("long").as("n"))
+  }
+
+  /** BPE ENCODING with the trained merges — the application half the
+    * training loop exists for ("a trained tokenizer drops in"): the merge
+    * list rides the plan as `replace` literals applied in round order
+    * (later merges may consume earlier merge symbols — the BPE cascade),
+    * so encoding is a PURE NARROW MAP over the corpus: zero Exchange
+    * beyond [[trainBpeMerges]]'s own tiny-key rounds, identical at any
+    * scale. Every applied merge occurrence shortens the text by exactly
+    * one char, so `n_merged = n_chars - n_chars_encoded` IS the
+    * occurrence count; `encoded_fp` pins the full encoded content
+    * byte-for-byte against the twin.
+    */
+  def bpeApply(doc: DataFrame, rounds: Int = bpeTrainRounds): DataFrame = {
+    val encoded = trainBpeMerges(doc, rounds).foldLeft(col("text")) {
+      case (t, (r, pair, _)) => replace(t, lit(pair), lit(bpeSymbol(r)))
+    }
+    doc.select(col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      length(encoded).cast("long").as("n_chars_encoded"),
+      (length(col("text")) - length(encoded)).cast("long").as("n_merged"),
+      md5(encoded).as("encoded_fp"))
   }
 
   /** Repetition-ratio ceiling for [[qualityFunnel]] (the Gopher-rule

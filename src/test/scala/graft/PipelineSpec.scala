@@ -1737,6 +1737,28 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"plan:\n$plan")
   }
 
+  test("text: BPE encoding is a zero-Exchange narrow map and round-trips losslessly") {
+    import graft.operators.TextAnalysis
+    val doc = Transcripts.documents(spark, sfDir)
+    val out = TextAnalysis.bpeApply(doc)
+    assert(out.count() == doc.count())
+    assert(out.agg(sum("n_merged")).head.getLong(0) > 0)
+    // encoding itself adds no shuffle (training's tiny-key rounds aside)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"plan:\n$plan")
+    // lossless: reverse replaces in reverse round order restore the text
+    // (merge symbols are private-use chars absent from the corpus)
+    val merges = TextAnalysis.trainBpeMerges(doc)
+    val enc = merges.foldLeft(col("text")) {
+      case (t, (r, p, _)) => replace(t, lit(p), lit(TextAnalysis.bpeSymbol(r)))
+    }
+    val dec = merges.reverse.foldLeft(enc) {
+      case (t, (r, p, _)) => replace(t, lit(TextAnalysis.bpeSymbol(r)), lit(p))
+    }
+    assert(doc.select(col("text"), dec.as("rt"))
+      .filter(col("text") =!= col("rt")).count() == 0)
+  }
+
   test("dedup: containment catches doc-inside-doc pairs Jaccard is blind to") {
     import graft.operators.Dedup
     val d = Transcripts.documents(spark, sfDir).select(col("doc_id"), col("text"))
