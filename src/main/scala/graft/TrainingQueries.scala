@@ -591,6 +591,12 @@ object TrainingQueries {
       Similarity.pqTopK(s.read.parquet(s"$dir/embeddings.parquet"))
         .orderBy("query_id", "rank")),
 
+    // recall@5 of ADC against the exact-L2 ground truth (the metric PQ
+    // approximates) — the tuning number for subspace/code counts
+    "ann_pq_recall" -> ((s, dir) =>
+      Similarity.pqRecall(s.read.parquet(s"$dir/embeddings.parquet"))
+        .orderBy("query_id")),
+
     // Composed end-to-end training-data pipeline over the dup-injected
     // corpus: exact dedup (keep smallest id per content hash) -> NEAR-dup
     // removal (the flagship three-stage dedup: minhash-LSH candidates ->
@@ -2002,6 +2008,47 @@ object TrainingQueries {
          |  FROM ad)
          |SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id, adist
          |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "ann_pq_recall" -> {
+      def dotE(a: String, b: String) =
+        s"list_sum(list_transform(range(1, ${Similarity.dims + 1}), i -> $a[i] * $b[i]))"
+      s"""WITH $duckPqCtes,
+         |lut AS (
+         |  SELECT vec_id AS query_id, j, code, dist FROM d WHERE vec_id < 10),
+         |contrib AS (
+         |  SELECT l.query_id, c.vec_id AS neighbor_id, l.dist, c.j
+         |  FROM codes c JOIN lut l ON l.j = c.j AND l.code = c.code
+         |  WHERE c.vec_id != l.query_id),
+         |ad AS (
+         |  SELECT query_id, neighbor_id, list_sum(list(dist ORDER BY j)) AS adist
+         |  FROM contrib GROUP BY query_id, neighbor_id),
+         |pq AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
+         |    FROM ad) WHERE rn <= 5),
+         |l2s AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ((${dotE("q.emb", "q.emb")} - 2 * ${dotE("q.emb", "c.emb")})
+         |      + ${dotE("c.emb", "c.emb")}) AS l2
+         |  FROM e q JOIN e c ON c.vec_id != q.vec_id
+         |  WHERE q.vec_id < 10),
+         |truth AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY l2, neighbor_id) AS rn
+         |    FROM l2s) WHERE rn <= 5),
+         |g AS (
+         |  SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_true,
+         |    CAST(sum(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_hit
+         |  FROM truth t LEFT JOIN pq p
+         |    ON p.query_id = t.query_id AND p.neighbor_id = t.neighbor_id
+         |  GROUP BY t.query_id)
+         |SELECT 'pq_adc' AS method, query_id, n_true, n_hit,
+         |  round(n_hit * 1.0 / n_true, 4) AS recall
+         |FROM g ORDER BY query_id""".stripMargin
+    },
 
     "ann_ivf_topk_probe2" ->
       s"""WITH cent AS (

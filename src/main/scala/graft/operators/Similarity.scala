@@ -244,27 +244,66 @@ object Similarity {
     * table (the earlier from-scratch composition collected the centroids
     * four times and re-scored the corpus per method).
     */
+  /** Per-query recall of `ann`'s (query_id, neighbor_id) pairs against a
+    * ground-truth top-k table — shared by [[annRecall]] and [[pqRecall]].
+    */
+  private def recallAgainst(truth: DataFrame)(
+      method: String, ann: DataFrame): DataFrame =
+    truth.join(
+        ann.select(col("query_id"), col("neighbor_id"), lit(1).as("hit")),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).cast("long").as("n_true"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+      .select(lit(method).as("method"), col("query_id"), col("n_true"),
+        col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_true").cast("double"), 4)
+          .as("recall"))
+
   def annRecall(emb: DataFrame, nQueries: Int = 10, k: Int = 3): DataFrame = {
     val cents = collectCentroids(emb)
     val assigned = ivfAssignWith(emb, cents)
-    val truth = bruteForceTopK(emb, nQueries, k)
-      .select(col("query_id"), col("neighbor_id"))
-    def recallOf(method: String, ann: DataFrame): DataFrame =
-      truth.join(
-          ann.select(col("query_id"), col("neighbor_id"), lit(1).as("hit")),
-          Seq("query_id", "neighbor_id"), "left")
-        .groupBy("query_id")
-        .agg(count(lit(1)).cast("long").as("n_true"),
-          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
-        .select(lit(method).as("method"), col("query_id"), col("n_true"),
-          col("n_hit"),
-          round(col("n_hit").cast("double") / col("n_true").cast("double"), 4)
-            .as("recall"))
+    val recallOf = recallAgainst(bruteForceTopK(emb, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))) _
     recallOf("lsh", lshTopK(emb, nQueries, k))
       .unionByName(recallOf("ivf", ivfTopKFrom(assigned, nQueries, k)))
       .unionByName(recallOf("ivf_probe2", ivfTopKProbe2From(assigned,
         ivfAssignProbe2With(emb, cents), nQueries, k)))
   }
+
+  /** Exact squared-L2 top-k — the ground truth for the metric PQ
+    * approximates (ADC is an L2 estimator; ranking it against the COSINE
+    * truth would conflate metric mismatch with quantization error). Same
+    * broadcast cross-join + per-query window shape as
+    * [[bruteForceTopK]]; the `(x2 - 2*dot) + c2` expansion mirrors
+    * [[pqDistArr]] and the DuckDB twin op-for-op.
+    */
+  def exactL2TopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    import graft.spark.VectorFunctions.vecDot
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val scored = q.join(broadcast(c), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        ((vecDot(col("qe"), col("qe")) - lit(2.0) * vecDot(col("qe"), col("ce")))
+          + vecDot(col("ce"), col("ce"))).as("l2"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("l2"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"), col("l2"))
+  }
+
+  /** Recall@k of ADC over PQ codes against the exact-L2 truth — the
+    * number a production corpus tracks when tuning subspace/code counts
+    * (here the untrained first-K codebook on synthetic vectors distorts
+    * heavily; the OPERATOR is the deliverable, the measured recall is its
+    * honest output).
+    */
+  def pqRecall(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame =
+    recallAgainst(exactL2TopK(emb, nQueries, k)
+      .select(col("query_id"), col("neighbor_id")))(
+      "pq_adc", pqTopK(emb, nQueries, k))
 
   /** Fixed-point scale for [[kmeansStep]]'s centroid accumulation: each
     * embedding dimension is quantized to `floor(x * 2^20)` (a BIGINT)

@@ -1681,7 +1681,6 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("ann: PQ encoding is a zero-Exchange narrow map; ADC top-k tracks exact L2") {
     import graft.operators.Similarity
-    import graft.spark.VectorFunctions.vecDot
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val enc = Similarity.pqEncode(emb)
     assert(enc.count() == emb.count())
@@ -1699,20 +1698,14 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // pins "approximates the right metric, deterministically")
     val pq = Similarity.pqTopK(emb)
     assert(pq.count() == 50)
-    val q = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val scored = q.join(
-        emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce")),
-        col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        (vecDot(col("qe"), col("qe")) - lit(2.0) * vecDot(col("qe"), col("ce"))
-          + vecDot(col("ce"), col("ce"))).as("l2"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("l2"), col("neighbor_id"))
-    val exact = scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+    val exact = Similarity.exactL2TopK(emb)
     val hits = pq.join(exact.select("query_id", "neighbor_id"),
       Seq("query_id", "neighbor_id")).count()
     assert(hits > 0, s"ADC found none of the exact-L2 top-5: $hits/50")
+    // and the recall harness agrees with the raw overlap count
+    val rec = Similarity.pqRecall(emb)
+    assert(rec.agg(sum("n_hit")).head.getLong(0) == hits)
+    assert(rec.count() == 10 && rec.filter(col("n_true") =!= 5L).count() == 0)
   }
 
   test("sample: contamination score grades eval members 1.0 and agrees with the binary drop") {
