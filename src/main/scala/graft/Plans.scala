@@ -191,6 +191,9 @@ object Plans {
           fmt(Dedup.semanticDedupIncremental(base,
             base.select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))))
         }),
+      ("SFT batch prep end to end (conv_sft_e2e)",
+        "render's ONE groupBy(conv_id) -> salted shard hash -> per-shard prefix-sum window (each shard's sort fits one task; raise sftShards at scale, nothing else changes): TWO Exchanges total, no global order ever materializes",
+        fmt(Transcripts.convSftPack(Transcripts.rawTurns(spark, sfDir)))),
       ("Chat-template render + loss-mask spans (conv_render / conv_spans)",
         "render: ONE partial-agg groupBy(conv_id) (ObjectHashAggregate, partial_collect_list map-side); the ordered concat is an expression over the aggregate, per-group state O(conv turns); spans: one running-sum Window on the SAME conv_id partitioning — composed render+spans reuses the Exchange",
         fmt(Transcripts.convRender(Transcripts.rawTurns(spark, sfDir))) + "\n" +

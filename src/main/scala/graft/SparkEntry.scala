@@ -89,6 +89,13 @@ object SparkEntry {
       Transcripts.convSpans(Transcripts.rawTurns(s, dir))
         .orderBy("conv_id", "turn_idx")),
 
+    // SFT batch prep end to end: render -> shard-local prefix-sum packing
+    // into fixed-char training contexts (two Exchanges: the render's
+    // conv_id groupBy + the shard window)
+    "conv_sft_e2e" -> ((s, dir) =>
+      Transcripts.convSftPack(Transcripts.rawTurns(s, dir))
+        .orderBy("conv_id")),
+
     "o11_extract_html" -> ((s, dir) => {
       import s.implicits._
       Transcripts.documents(s, dir)
@@ -735,6 +742,40 @@ object SparkEntry {
            |FROM r
            |WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
            |ORDER BY conv_id, turn_idx""".stripMargin,
+
+      "conv_sft_e2e" ->
+        s"""WITH t AS (
+           |  SELECT
+           |    'conv-' || lpad(CAST(doc_id % ${Transcripts.Conversations} AS VARCHAR), 4, '0') AS conv_id,
+           |    CASE WHEN doc_id % 3 = 0 THEN 'user'
+           |         WHEN doc_id % 3 = 1 THEN 'assistant' ELSE 'tool' END AS role,
+           |    text
+           |  FROM documents),
+           |r AS (
+           |  SELECT conv_id, role,
+           |    '<|' || role || '|>' || chr(10) || text || chr(10) AS r
+           |  FROM t),
+           |conv AS (
+           |  SELECT conv_id,
+           |    CAST(sum(length(r)) AS BIGINT) AS total_chars,
+           |    CAST(sum(CASE WHEN role = 'assistant' THEN length(r) ELSE 0 END) AS BIGINT)
+           |      AS trainable_chars
+           |  FROM r GROUP BY conv_id),
+           |sh AS (
+           |  SELECT conv_id, total_chars, trainable_chars,
+           |    CAST(CAST('0x' || substr(md5(conv_id), 1, 2) AS INTEGER)
+           |      % ${Transcripts.sftShards} AS INTEGER) AS shard
+           |  FROM conv),
+           |c AS (
+           |  SELECT *,
+           |    COALESCE(sum(total_chars) OVER (
+           |      PARTITION BY shard ORDER BY conv_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_cum
+           |  FROM sh)
+           |SELECT conv_id, shard, total_chars, trainable_chars,
+           |  CAST(prev_cum // ${Transcripts.sftCharBudget} AS BIGINT) AS pack_id,
+           |  CAST(prev_cum % ${Transcripts.sftCharBudget} AS BIGINT) AS pack_offset
+           |FROM c ORDER BY conv_id""".stripMargin,
 
       "o11_extract_html" ->
         "SELECT doc_id, text FROM documents ORDER BY doc_id",

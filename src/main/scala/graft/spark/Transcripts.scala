@@ -284,6 +284,39 @@ object Transcripts {
         (col("role") === "assistant").as("trainable"))
   }
 
+  /** Shard count / per-context char budget for [[convSftPack]]. */
+  val sftShards = 8
+  val sftCharBudget = 8192L
+
+  /** SFT batch prep END TO END: render each conversation
+    * ([[convRender]]) and pack the flattened samples into fixed-size
+    * training contexts by shard-local prefix sum — the
+    * [[graft.operators.Packing.packContexts]] shape over conversations
+    * (no global order: shard = salted hash of conv_id, within-shard
+    * prefix sums are per-shard windows that fit one task each; at 10^12
+    * turns raise [[sftShards]], nothing else changes). Char-budgeted
+    * (`total_chars` from the render — the tokenizer-independent proxy);
+    * `trainable_chars` rides along so downstream loss masking knows each
+    * context's supervised fraction. Two Exchanges total: the render's
+    * groupBy(conv_id) and the shard repartition the window needs.
+    */
+  def convSftPack(t: DataFrame, budget: Long = sftCharBudget): DataFrame = {
+    val shard = pmod(
+      expr("CAST(conv(substring(md5(conv_id), 1, 2), 16, 10) AS INT)"),
+      lit(sftShards)).cast("int")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("conv_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    convRender(t)
+      .select(col("conv_id"), shard.as("shard"),
+        col("total_chars"), col("trainable_chars"))
+      .withColumn("prev_cum", coalesce(sum(col("total_chars")).over(w), lit(0L)))
+      .select(col("conv_id"), col("shard"), col("total_chars"),
+        col("trainable_chars"),
+        expr(s"prev_cum div $budget").cast("long").as("pack_id"),
+        (col("prev_cum") % lit(budget)).cast("long").as("pack_offset"))
+  }
+
   def convFilter(t: DataFrame, minTurns: Int = 2, maxToolShare: Double = 0.8): DataFrame = {
     val keep = t.groupBy("conv_id")
       .agg(count(lit(1)).as("n_turns"),

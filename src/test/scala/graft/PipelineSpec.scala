@@ -1730,6 +1730,27 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"plan:\n$plan")
   }
 
+  test("conv: SFT pack keeps shard-local prefix sums coherent, offsets within budget") {
+    val t = Transcripts.rawTurns(spark, sfDir)
+    val out = Transcripts.convSftPack(t)
+    assert(out.count() == Transcripts.convRender(t).count())
+    assert(out.filter(col("pack_offset") < 0
+      || col("pack_offset") >= Transcripts.sftCharBudget).count() == 0)
+    assert(out.filter(col("trainable_chars") > col("total_chars")).count() == 0)
+    // prefix-sum coherence: pack_id * budget + offset reconstructs the
+    // running sum of all earlier convs in the shard
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("conv_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val chk = out.withColumn("expect", coalesce(sum(col("total_chars")).over(w), lit(0L)))
+    assert(chk.filter(col("pack_id") * Transcripts.sftCharBudget
+      + col("pack_offset") =!= col("expect")).count() == 0)
+    // two Exchanges total: the render's conv_id groupBy + the shard window
+    val plan = out.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllMatchIn(plan).length == 2,
+      s"plan:\n$plan")
+  }
+
   test("text: BPE encoding is a zero-Exchange narrow map and round-trips losslessly") {
     import graft.operators.TextAnalysis
     val doc = Transcripts.documents(spark, sfDir)
