@@ -1306,9 +1306,11 @@ object Dedup {
     *   4. one groupBy(doc_id) reassembles surviving blocks in pos order
     *      (the [[graft.spark.Transcripts.convRender]] ordered-concat
     *      shape, per-group state O(blocks in one doc)).
-    * Only the keeper join ships block TEXT; the keeper table itself
-    * carries (hash, doc_id, pos) — 32-hex + two longs per distinct block.
-    * Output: `(doc_id, n_blocks, n_kept, text_dedup)` — one row per doc.
+    * The keeper TABLE carries only (hash, doc_id, pos) — 32-hex + two
+    * longs per distinct block; block text rides the keeper join and the
+    * reassembly shuffle (unavoidable: the rewrite must move the text
+    * once). Output: `(doc_id, n_blocks, n_kept, text_dedup)` — one row
+    * per doc.
     */
   def spanDedup(doc: DataFrame): DataFrame = {
     val blocks = doc
