@@ -191,6 +191,11 @@ object Plans {
           fmt(Dedup.semanticDedupIncremental(base,
             base.select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))))
         }),
+      ("Conversation embedding pooling + group-level SemDeDup (conv_embed / conv_semantic)",
+        "pooling: ONE partial-agg groupBy whose shuffle carries (conv, 64 BIGINT fixed-point sums, count) — never member vectors; integer sums = bit-reproducible means under any partitioning; the pooled table feeds the unchanged SemDeDup plan family",
+        fmt(Similarity.pooledEmbeddings(emb,
+          org.apache.spark.sql.functions.pmod(col("vec_id"),
+            org.apache.spark.sql.functions.lit(Transcripts.Conversations.toLong))))),
       ("SFT batch prep end to end (conv_sft_e2e)",
         "render's ONE groupBy(conv_id) -> salted shard hash -> per-shard prefix-sum window (each shard's sort fits one task; raise sftShards at scale, nothing else changes): TWO Exchanges total, no global order ever materializes",
         fmt(Transcripts.convSftPack(Transcripts.rawTurns(spark, sfDir)))),

@@ -67,6 +67,29 @@ object TrainingQueries {
        |codes AS (SELECT vec_id, j, code FROM a WHERE rn = 1)""".stripMargin
   }
 
+  /** Shared DuckDB CTE chain for conversation-level embedding pooling:
+    * fixed-point per-dim sums (`pd`) and the rebuilt mean vectors
+    * (`pool`) — `s / (n * scale.0)` is the Spark emission op-for-op.
+    */
+  private def duckPooledCtes: String = {
+    val convs = graft.spark.Transcripts.Conversations
+    val scale = Similarity.kmeansScale
+    s"""qv AS (
+       |  SELECT vec_id % $convs AS vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * $scale) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |pd AS (
+       |  SELECT vec_id, CAST(t.i AS INTEGER) AS dim,
+       |    CAST(sum(q[t.i]) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+       |  FROM qv, unnest(range(1, ${Similarity.dims + 1})) AS t(i)
+       |  GROUP BY vec_id, t.i),
+       |pool AS (
+       |  SELECT vec_id, any_value(n) AS n_vecs,
+       |    list(s / (n * $scale.0) ORDER BY dim) AS emb
+       |  FROM pd GROUP BY vec_id)""".stripMargin
+  }
+
   /** DuckDB fragment: `iters` chained fixed-point Lloyd iterations over
     * relation `src(vec_id, embCol)`, starting from the first-K seed
     * (`cent0`) and ending at `cent<iters>` — each iteration is the
@@ -596,6 +619,30 @@ object TrainingQueries {
     "ann_pq_recall" -> ((s, dir) =>
       Similarity.pqRecall(s.read.parquet(s"$dir/embeddings.parquet"))
         .orderBy("query_id")),
+
+    // conversation-level embedding pooling: fixed-point group means over
+    // each conv's turn vectors (one partial-agg shuffle of BIGINT sums;
+    // bit-reproducible under any partitioning)
+    "conv_embed" -> ((s, dir) =>
+      Similarity.pooledEmbeddings(
+          s.read.parquet(s"$dir/embeddings.parquet"),
+          pmod(col("vec_id"), lit(Transcripts.Conversations.toLong)))
+        .select(col("vec_id").as("conv_idx"), col("n_vecs"),
+          posexplode(col("embedding")).as(Seq("d0", "mean")))
+        .select(col("conv_idx"), (col("d0") + 1).cast("int").as("dim"),
+          col("n_vecs"), col("mean"))
+        .orderBy("conv_idx", "dim")),
+
+    // conversation-level SEMANTIC dedup over the pooled vectors: the
+    // turn->conversation lift composed with SemDeDup (real group-level
+    // redundancy, no injected fixtures)
+    "conv_semantic" -> ((s, dir) =>
+      Dedup.semanticDedupOn(
+          Similarity.pooledEmbeddings(
+            s.read.parquet(s"$dir/embeddings.parquet"),
+            pmod(col("vec_id"), lit(Transcripts.Conversations.toLong)))
+          .select(col("vec_id"), col("embedding")))
+        .orderBy("vec_id")),
 
     // Composed end-to-end training-data pipeline over the dup-injected
     // corpus: exact dedup (keep smallest id per content hash) -> NEAR-dup
@@ -2008,6 +2055,47 @@ object TrainingQueries {
          |  FROM ad)
          |SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id, adist
          |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "conv_embed" -> {
+      val scale = Similarity.kmeansScale
+      s"""WITH $duckPooledCtes
+         |SELECT vec_id AS conv_idx, dim, n AS n_vecs, s / (n * $scale.0) AS mean
+         |FROM pd ORDER BY conv_idx, dim""".stripMargin
+    },
+
+    "conv_semantic" -> {
+      val k = Similarity.ivfCells
+      def dotD(a: String, b: String) =
+        s"list_sum(list_transform(range(1, ${Similarity.dims + 1}), n -> $a[n] * $b[n]))"
+      s"""WITH $duckPooledCtes,
+         |v AS (SELECT vec_id, emb, ${dotD("emb", "emb")} AS na FROM pool),
+         |cent AS (
+         |  SELECT vec_id AS centroid_id, emb AS ce, na AS nb FROM v
+         |  WHERE vec_id < $k),
+         |sc AS (
+         |  SELECT e.vec_id, e.emb, e.na, c.centroid_id,
+         |    round(${dotD("e.emb", "c.ce")} / sqrt(e.na * c.nb), 6) AS ccos
+         |  FROM v e, cent c),
+         |a AS (
+         |  SELECT vec_id, emb, na, centroid_id, ccos,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rn
+         |  FROM sc),
+         |asg AS (
+         |  SELECT vec_id, emb, na, centroid_id AS cell, ccos AS centroid_cos
+         |  FROM a WHERE rn = 1),
+         |p AS (
+         |  SELECT x.vec_id AS a_id, y.vec_id AS b_id,
+         |    x.centroid_cos AS ac, y.centroid_cos AS bc,
+         |    round(${dotD("x.emb", "y.emb")} / sqrt(x.na * y.na), 6) AS cos
+         |  FROM asg x JOIN asg y ON x.cell = y.cell AND y.vec_id > x.vec_id),
+         |drp AS (
+         |  SELECT DISTINCT CASE WHEN ac > bc THEN a_id ELSE b_id END AS vec_id
+         |  FROM p WHERE cos >= 0.8)
+         |SELECT g.vec_id, g.cell, g.centroid_cos,
+         |  (d.vec_id IS NOT NULL) AS dropped
+         |FROM asg g LEFT JOIN drp d ON g.vec_id = d.vec_id
+         |ORDER BY g.vec_id""".stripMargin
+    },
 
     "ann_pq_recall" -> {
       def dotE(a: String, b: String) =

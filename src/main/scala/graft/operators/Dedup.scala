@@ -1177,6 +1177,15 @@ object Dedup {
     semanticDedupFrom(base, Similarity.collectCentroids(base), minCos)
   }
 
+  /** [[semanticDedup]] over an ALREADY-PREPARED `(vec_id, embedding
+    * double[])` base — no dup injection; the form group-POOLED vectors
+    * feed (e.g. [[Similarity.pooledEmbeddings]]' conversation-level
+    * means, where "duplicates" are real group-level redundancy, not
+    * injected fixtures). Identical plan family to [[semanticDedup]].
+    */
+  def semanticDedupOn(base: DataFrame, minCos: Double = 0.8): DataFrame =
+    semanticDedupFrom(base, Similarity.collectCentroids(base), minCos)
+
   /** [[semanticDedup]] with TRAINED k-means centroids — the quantizer swap
     * its scaladoc promises: [[Similarity.trainCentroids]] iterates the
     * fixed-point Lloyd step over the same dup-injected base, and the

@@ -356,6 +356,32 @@ object Similarity {
           .as("mean"))
   }
 
+  /** Group-MEAN embedding pooling with the [[kmeansScale]] fixed-point
+    * accumulation — "one embedding per conversation/document from its
+    * member vectors", the standard turn→conversation (or chunk→document)
+    * lift before group-level semantic dedup or retrieval. Integer sums
+    * make the pooled vectors bit-reproducible under any partitioning
+    * (the [[kmeansStep]] argument — a float mean is shuffle-order-
+    * dependent); ONE partial-agg groupBy(key) whose shuffle carries
+    * (key, 64 BIGINT partial sums, count) rows, never the member
+    * vectors. Output: `(vec_id = key, n_vecs, embedding: array<double>)`
+    * — shaped to feed [[Dedup.semanticDedup]] / [[ivfAssignWith]]
+    * directly.
+    */
+  def pooledEmbeddings(emb: DataFrame, key: Column): DataFrame = {
+    val q = emb.select(key.cast("long").as("vec_id"),
+      expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${kmeansScale}D) AS BIGINT))")
+        .as("q"))
+    val sums = (1 to dims).map(i => sum(element_at(col("q"), i)).as(s"s$i"))
+    q.groupBy("vec_id")
+      .agg(count(lit(1)).as("n_vecs"), sums: _*)
+      .select(col("vec_id"), col("n_vecs").cast("long").as("n_vecs"),
+        array((1 to dims).map(i =>
+          col(s"s$i").cast("double")
+            / (col("n_vecs").cast("double") * lit(kmeansScale.toDouble))): _*)
+          .as("embedding"))
+  }
+
   /** TRAINED k-means centroids: iterate the fixed-point Lloyd step `iters`
     * times from the deterministic first-K seed — the loop
     * [[kmeansStep]]'s scaladoc declares ("collect the 16-row output, feed

@@ -1730,6 +1730,26 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"plan:\n$plan")
   }
 
+  test("conv: pooled embeddings are bit-reproducible under repartitioning; SemDeDup composes") {
+    import graft.operators.{Dedup, Similarity}
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def key = pmod(col("vec_id"), lit(Transcripts.Conversations.toLong))
+    val a = Similarity.pooledEmbeddings(emb, key)
+    val b = Similarity.pooledEmbeddings(emb.repartition(13), key)
+    assert(a.count() == Transcripts.Conversations)
+    // integer accumulation -> identical doubles under any partitioning
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    // membership conservation
+    assert(a.agg(sum("n_vecs")).head.getLong(0) == emb.count())
+    // composition: one verdict row per conversation
+    val sem = Dedup.semanticDedupOn(a.select(col("vec_id"), col("embedding")))
+    assert(sem.count() == Transcripts.Conversations)
+    // pooling is ONE partial-agg shuffle of BIGINT sums
+    val plan = a.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllMatchIn(plan).length == 1,
+      s"plan:\n$plan")
+  }
+
   test("conv: SFT pack keeps shard-local prefix sums coherent, offsets within budget") {
     val t = Transcripts.rawTurns(spark, sfDir)
     val out = Transcripts.convSftPack(t)
