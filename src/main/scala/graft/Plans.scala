@@ -212,6 +212,12 @@ object Plans {
       ("BPE encoding with trained merges (text_bpe_apply)",
         "the trained merge list rides the plan as chained replace literals (round order, cascading) — a pure ZERO-Exchange narrow map over the corpus; training's own cost is one tiny-key shuffle + a 1-row collect per round, upstream",
         fmt(TextAnalysis.bpeApply(doc))),
+      ("Span ingest dedup (incoming vs block artifact, dedup_span_incremental)",
+        "incoming docs explode narrowly; ONE left equi-join against the checkpointed 16-byte-per-block artifact (the corpus text never rescans); one groupBy(doc_id) ordered reassembly — syndicated boilerplate stripped at the door",
+        {
+          val base = doc.select(col("doc_id"), col("text"))
+          fmt(Dedup.spanDedupIncremental(Dedup.spanArtifacts(base), base))
+        }),
       ("Containment dedup (posting-list join, dedup_containment)",
         "ONE shingle pass (checkpoint feeds postings AND sizes) -> groupBy(shingle) posting lists with the OBSERVABLE stop-gram df cap -> streamed in-bucket pairs (no flatten) -> groupBy(a,b) shared counts -> two size equi-joins; pair work bounded by sum of rare-bucket^2, the band-family bound",
         fmt(Dedup.containmentPairs(doc.select(col("doc_id"), col("text"))))),

@@ -455,6 +455,23 @@ object TrainingQueries {
       Dedup.spanDedup(d.unionAll(borrow)).orderBy("doc_id")
     }),
 
+    // ingest-time SPAN dedup (fourth incremental member): incoming docs
+    // drop the blocks the existing corpus already holds and reassemble;
+    // injected borrowers quote an existing doc's lede + novel tail
+    "dedup_span_incremental" -> ((s, dir) => {
+      val base = Transcripts.documents(s, dir).select(col("doc_id"), col("text"))
+      val existing = base.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val incoming = base.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .unionAll(existing.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select((col("doc_id") + 4000000L).as("doc_id"),
+            concat(
+              array_join(slice(split(col("text"), " "), 1, Dedup.spanTokens), " "),
+              lit(" novel reporting beyond the syndicated lede "),
+              (col("doc_id") + 4000000L).cast("string")).as("text")))
+      Dedup.spanDedupIncremental(Dedup.spanArtifacts(existing), incoming)
+        .orderBy("doc_id")
+    }),
+
     // context packing: prefix-sum pack assignment within (language, shard)
     // strata — one shuffle, shard-local contexts by construction
     "pack_contexts" -> ((s, dir) =>
@@ -1060,6 +1077,39 @@ object TrainingQueries {
          |  SELECT bh.doc_id, bh.pos, bh.block,
          |    (bh.doc_id = k.k_doc AND bh.pos = k.k_pos) AS kept
          |  FROM bh JOIN k ON bh.h = k.h)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+         |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  coalesce(string_agg(CASE WHEN kept THEN block END, ' ' ORDER BY pos), '')
+         |    AS text_dedup
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    "dedup_span_incremental" -> {
+      val w = Dedup.spanTokens
+      def blocks(src: String) =
+        s"""SELECT doc_id, CAST(i AS BIGINT) AS pos,
+           |    array_to_string(list_slice(string_split(text, ' '),
+           |      i * $w + 1, i * $w + $w), ' ') AS block
+           |  FROM $src, unnest(range(0,
+           |    ((len(string_split(text, ' ')) - 1) // $w) + 1)) AS t(i)""".stripMargin
+      s"""WITH existing AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+         |incoming AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 4000000,
+         |    array_to_string(list_slice(string_split(text, ' '), 1, $w), ' ')
+         |      || ' novel reporting beyond the syndicated lede '
+         |      || CAST(doc_id + 4000000 AS VARCHAR)
+         |  FROM existing WHERE doc_id % 5 = 0),
+         |art AS (
+         |  SELECT DISTINCT md5(block) AS h FROM (
+         |  ${blocks("existing")})),
+         |b AS (
+         |  ${blocks("incoming")}),
+         |j AS (
+         |  SELECT b.doc_id, b.pos, b.block, (a.h IS NULL) AS kept
+         |  FROM b LEFT JOIN art a ON md5(b.block) = a.h)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
          |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
          |  coalesce(string_agg(CASE WHEN kept THEN block END, ' ' ORDER BY pos), '')

@@ -1238,6 +1238,56 @@ object Dedup {
         coalesce(col("d"), lit(false)).as("dropped"))
   }
 
+  /** Block-hash ARTIFACT of the existing corpus for [[spanDedupIncremental]]:
+    * the distinct md5s of its [[spanTokens]]-token blocks, eagerly
+    * materialized — at 100 TB this is the persisted table the corpus
+    * maintains per ingest epoch alongside its content-hash, band, and
+    * cell artifacts (the [[corpusArtifacts]] / [[semanticArtifacts]]
+    * pattern at span granularity).
+    */
+  def spanArtifacts(existing: DataFrame): DataFrame =
+    spanBlocks(existing).select(col("h")).distinct().localCheckpoint(true)
+
+  /** The shared doc→blocks projection of [[spanDedup]] /
+    * [[spanDedupIncremental]]: narrow posexplode into
+    * `(doc_id, pos, block, h)`.
+    */
+  private def spanBlocks(doc: DataFrame): DataFrame =
+    doc.select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, CAST((size(split(text, ' ')) - 1) DIV $spanTokens AS INT)),
+           |  i -> array_join(slice(split(text, ' '), i * $spanTokens + 1, $spanTokens), ' '))"""
+          .stripMargin)).as(Seq("pos", "block")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("block"),
+        md5(col("block")).as("h"))
+
+  /** Ingest-time SPAN dedup — the fourth member of the incremental
+    * family (content hash, minhash bands, semantic cells, now spans):
+    * every INCOMING document drops the blocks the existing corpus
+    * already contains and is reassembled from the rest — syndicated
+    * boilerplate is stripped at the door while the fresh prose survives.
+    * Incoming-vs-incoming spans are out of scope by the incremental
+    * contract (each batch joins the corpus artifacts before the next
+    * arrives — the [[incrementalDedup]] precedent).
+    *
+    * Plan: narrow incoming explode, one LEFT equi-join against the
+    * artifact's distinct hashes (AQE-handled skew; no corpus text ever
+    * rescans — the artifact is 16 bytes per distinct corpus block), one
+    * groupBy(doc_id) ordered reassembly. Output mirrors [[spanDedup]]:
+    * `(doc_id, n_blocks, n_kept, text_dedup)`.
+    */
+  def spanDedupIncremental(existingArt: DataFrame, incoming: DataFrame): DataFrame =
+    spanBlocks(incoming)
+      .join(existingArt.withColumn("dup", lit(true)), Seq("h"), "left")
+      .withColumn("kept", coalesce(col("dup"), lit(false)) === false)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_blocks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(when(col("kept"),
+            struct(col("pos"), col("block"))))),
+            x => x.getField("block")),
+          " ").as("text_dedup"))
+
   /** Stop-gram document-frequency cap for [[containmentPairs]] — a
     * shingle appearing in more documents than this is boilerplate and
     * generates no pairs (dropped OBSERVABLY, the [[minhashMaxBucket]]
@@ -1322,13 +1372,7 @@ object Dedup {
     * per doc.
     */
   def spanDedup(doc: DataFrame): DataFrame = {
-    val blocks = doc
-      .select(col("doc_id"), posexplode(expr(
-        s"""transform(sequence(0, CAST((size(split(text, ' ')) - 1) DIV $spanTokens AS INT)),
-           |  i -> array_join(slice(split(text, ' '), i * $spanTokens + 1, $spanTokens), ' '))"""
-          .stripMargin)).as(Seq("pos", "block")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("block"),
-        md5(col("block")).as("h"))
+    val blocks = spanBlocks(doc)
     val keepers = blocks.groupBy("h")
       .agg(min(struct(col("doc_id"), col("pos"))).as("keeper"))
       .select(col("h"), col("keeper.doc_id").as("k_doc"), col("keeper.pos").as("k_pos"))

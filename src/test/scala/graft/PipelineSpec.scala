@@ -1820,6 +1820,32 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       && !pplan.contains("CartesianProduct"), s"plan:\n$pplan")
   }
 
+  test("dedup: span ingest strips corpus-held blocks, keeps novel prose; artifact is checkpointed") {
+    import graft.operators.Dedup
+    val base = Transcripts.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val existing = base.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val art = Dedup.spanArtifacts(existing)
+    // re-ingesting the existing corpus is the bulletproof case: every
+    // block is held -> everything drops, reassembly is empty
+    val reingest = Dedup.spanDedupIncremental(art, existing)
+    assert(reingest.filter(col("n_kept") =!= 0L || col("text_dedup") =!= "").count() == 0)
+    assert(reingest.count() == existing.count())
+    // borrowers quoting an existing lede keep exactly the novel tail
+    val borrow = existing.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select((col("doc_id") + 4000000L).as("doc_id"),
+        concat(
+          array_join(slice(split(col("text"), " "), 1, Dedup.spanTokens), " "),
+          lit(" novel reporting beyond the syndicated lede "),
+          (col("doc_id") + 4000000L).cast("string")).as("text"))
+    val out = Dedup.spanDedupIncremental(art, borrow)
+    assert(out.count() == borrow.count() && out.count() > 0)
+    assert(out.filter(col("n_kept") =!= col("n_blocks") - 1).count() == 0)
+    assert(out.filter(!col("text_dedup")
+      .startsWith("novel reporting beyond the syndicated lede")).count() == 0)
+    // the artifact reads from its checkpoint (no re-scan of existing text)
+    assert(out.queryExecution.executedPlan.toString.contains("ExistingRDD"))
+  }
+
   test("dedup: span rewrite drops the borrowed paragraph, keeps the borrower's own prose") {
     import graft.operators.Dedup
     val d = Transcripts.documents(spark, sfDir).select(col("doc_id"), col("text"))
