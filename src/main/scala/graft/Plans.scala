@@ -212,6 +212,17 @@ object Plans {
       ("BPE encoding with trained merges (text_bpe_apply)",
         "the trained merge list rides the plan as chained replace literals (round order, cascading) — a pure ZERO-Exchange narrow map over the corpus; training's own cost is one tiny-key shuffle + a 1-row collect per round, upstream",
         fmt(TextAnalysis.bpeApply(doc))),
+      ("Web-curation pipeline end to end (web_prep_e2e)",
+        "domain cap decides map-side off the broadcast rate table (corpus unshuffled) -> span dedup's three equi-keyed shuffles over the CAPPED subset only -> narrow length gate -> per-host report joins three tiny host-level aggregates",
+        {
+          val host = org.apache.spark.sql.functions.concat(col("source"),
+            org.apache.spark.sql.functions.lit(".example.com"))
+          val d = doc.select(col("doc_id"), host.as("host"), col("text"))
+          val capped = Sampling.domainCap(d.select(col("doc_id"), col("host")))
+            .filter(col("kept")).select("doc_id", "host")
+            .join(d.select(col("doc_id"), col("text")), Seq("doc_id"))
+          fmt(Dedup.spanDedup(capped.select(col("doc_id"), col("text"))))
+        }),
       ("Span ingest dedup (incoming vs block artifact, dedup_span_incremental)",
         "incoming docs explode narrowly; ONE left equi-join against the checkpointed 16-byte-per-block artifact (the corpus text never rescans); one groupBy(doc_id) ordered reassembly — syndicated boilerplate stripped at the door",
         {

@@ -455,6 +455,36 @@ object TrainingQueries {
       Dedup.spanDedup(d.unionAll(borrow)).orderBy("doc_id")
     }),
 
+    // the WEB-curation pipeline end to end: per-domain cap (rate form)
+    // -> cross-doc span dedup with rewrite -> post-dedup length gate
+    // (>= one block of fresh text) -> compact per-host report; every
+    // stage keeps its standalone 100 TB shape
+    "web_prep_e2e" -> ((s, dir) => {
+      val host = when(pmod(col("doc_id"), lit(4)) === 0, lit("hub.example.com"))
+        .otherwise(concat(col("source"), lit(".example.com")))
+      val d = Transcripts.documents(s, dir)
+        .select(col("doc_id"), host.as("host"), col("text"))
+      val capped = Sampling.domainCap(d.select(col("doc_id"), col("host")))
+        .filter(col("kept")).select("doc_id", "host")
+        .join(d.select(col("doc_id"), col("text")), Seq("doc_id"))
+      val span = Dedup.spanDedup(capped.select(col("doc_id"), col("text")))
+        .join(capped.select(col("doc_id"), col("host")), Seq("doc_id"))
+      val fin = span.filter(
+        size(split(col("text_dedup"), " ")) >= Dedup.spanTokens
+          && length(col("text_dedup")) > 0)
+      d.groupBy("host").agg(count(lit(1)).as("n_docs"))
+        .join(capped.groupBy("host").agg(count(lit(1)).as("n_capped")),
+          Seq("host"), "left")
+        .join(fin.groupBy("host").agg(count(lit(1)).as("n_final"),
+            sum(size(split(col("text_dedup"), " ")).cast("long")).as("tokens_final")),
+          Seq("host"), "left")
+        .select(col("host"), col("n_docs").cast("long").as("n_docs"),
+          coalesce(col("n_capped"), lit(0L)).cast("long").as("n_capped"),
+          coalesce(col("n_final"), lit(0L)).cast("long").as("n_final"),
+          coalesce(col("tokens_final"), lit(0L)).cast("long").as("tokens_final"))
+        .orderBy("host")
+    }),
+
     // ingest-time SPAN dedup (fourth incremental member): incoming docs
     // drop the blocks the existing corpus already holds and reassemble;
     // injected borrowers quote an existing doc's lede + novel tail
@@ -1082,6 +1112,63 @@ object TrainingQueries {
          |  coalesce(string_agg(CASE WHEN kept THEN block END, ' ' ORDER BY pos), '')
          |    AS text_dedup
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    "web_prep_e2e" -> {
+      val cap = Sampling.domainCapDocs
+      val w = Dedup.spanTokens
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 4 = 0 THEN 'hub.example.com'
+         |         ELSE source || '.example.com' END AS host,
+         |    text
+         |  FROM documents),
+         |n AS (
+         |  SELECT host,
+         |    least(CAST(1.0 AS DOUBLE), CAST($cap AS DOUBLE) / count(*))
+         |      AS keep_rate
+         |  FROM d GROUP BY host),
+         |capped AS (
+         |  SELECT d.doc_id, d.host, d.text FROM d JOIN n USING (host)
+         |  WHERE CAST('0x' || substr(md5('graft-domain:' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+         |    * 1.0 / 4294967296 < n.keep_rate),
+         |b AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |    array_to_string(list_slice(string_split(text, ' '),
+         |      i * $w + 1, i * $w + $w), ' ') AS block
+         |  FROM capped, unnest(range(0,
+         |    ((len(string_split(text, ' ')) - 1) // $w) + 1)) AS t(i)),
+         |bh AS (SELECT doc_id, pos, block, md5(block) AS h FROM b),
+         |k AS (
+         |  SELECT h, doc_id AS k_doc, pos AS k_pos FROM (
+         |    SELECT h, doc_id, pos,
+         |      row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+         |    FROM bh) WHERE rn = 1),
+         |j AS (
+         |  SELECT bh.doc_id, bh.pos, bh.block,
+         |    (bh.doc_id = k.k_doc AND bh.pos = k.k_pos) AS kept
+         |  FROM bh JOIN k ON bh.h = k.h),
+         |sp AS (
+         |  SELECT doc_id,
+         |    coalesce(string_agg(CASE WHEN kept THEN block END, ' ' ORDER BY pos), '')
+         |      AS text_dedup
+         |  FROM j GROUP BY doc_id),
+         |fin AS (
+         |  SELECT sp.doc_id, c.host, sp.text_dedup
+         |  FROM sp JOIN capped c USING (doc_id)
+         |  WHERE len(string_split(text_dedup, ' ')) >= $w
+         |    AND length(text_dedup) > 0)
+         |SELECT dd.host, dd.n_docs,
+         |  coalesce(cc.n_capped, 0) AS n_capped,
+         |  coalesce(ff.n_final, 0) AS n_final,
+         |  coalesce(ff.tokens_final, 0) AS tokens_final
+         |FROM (SELECT host, CAST(count(*) AS BIGINT) AS n_docs FROM d GROUP BY host) dd
+         |LEFT JOIN (SELECT host, CAST(count(*) AS BIGINT) AS n_capped
+         |  FROM capped GROUP BY host) cc USING (host)
+         |LEFT JOIN (SELECT host, CAST(count(*) AS BIGINT) AS n_final,
+         |    CAST(sum(len(string_split(text_dedup, ' '))) AS BIGINT) AS tokens_final
+         |  FROM fin GROUP BY host) ff USING (host)
+         |ORDER BY dd.host""".stripMargin
     },
 
     "dedup_span_incremental" -> {

@@ -1820,6 +1820,18 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       && !pplan.contains("CartesianProduct"), s"plan:\n$pplan")
   }
 
+  test("web_prep_e2e: per-host funnel is monotone and conserves the corpus") {
+    val out = SparkEntry.queries("web_prep_e2e")(spark, sfDir)
+    assert(out.count() > 0)
+    assert(out.filter(col("n_capped") > col("n_docs")
+      || col("n_final") > col("n_capped")).count() == 0)
+    assert(out.agg(sum("n_docs")).head.getLong(0)
+      == Transcripts.documents(spark, sfDir).count())
+    // the mega-domain is genuinely capped
+    assert(out.filter(col("host") === "hub.example.com"
+      && col("n_capped") >= col("n_docs")).count() == 0)
+  }
+
   test("dedup: span ingest strips corpus-held blocks, keeps novel prose; artifact is checkpointed") {
     import graft.operators.Dedup
     val base = Transcripts.documents(spark, sfDir).select(col("doc_id"), col("text"))
