@@ -502,6 +502,13 @@ object TrainingQueries {
         .orderBy("doc_id")
     }),
 
+    // STREAMING span ingest: the same rewrite as dedup_span_incremental
+    // but incoming docs arrive as an AvailableNow stream checked per
+    // micro-batch against the static block artifact (foreachBatch; the
+    // artifacts ARE the state)
+    "dedup_span_stream" -> ((s, dir) =>
+      Dedup.runStreamingSpanIncremental(s, dir).orderBy("doc_id")),
+
     // context packing: prefix-sum pack assignment within (language, shard)
     // strata — one shuffle, shard-local contexts by construction
     "pack_contexts" -> ((s, dir) =>
@@ -1169,6 +1176,36 @@ object TrainingQueries {
          |    CAST(sum(len(string_split(text_dedup, ' '))) AS BIGINT) AS tokens_final
          |  FROM fin GROUP BY host) ff USING (host)
          |ORDER BY dd.host""".stripMargin
+    },
+
+    "dedup_span_stream" -> {
+      val w = Dedup.spanTokens
+      def blocks(src: String) =
+        s"""SELECT doc_id, CAST(i AS BIGINT) AS pos,
+           |    array_to_string(list_slice(string_split(text, ' '),
+           |      i * $w + 1, i * $w + $w), ' ') AS block
+           |  FROM $src, unnest(range(0,
+           |    ((len(string_split(text, ' ')) - 1) // $w) + 1)) AS t(i)""".stripMargin
+      s"""WITH existing AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+         |incoming AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 2000000 AS doc_id, text FROM existing
+         |  WHERE doc_id % 5 = 0),
+         |art AS (
+         |  SELECT DISTINCT md5(block) AS h FROM (
+         |  ${blocks("existing")})),
+         |b AS (
+         |  ${blocks("incoming")}),
+         |j AS (
+         |  SELECT b.doc_id, b.pos, b.block, (a.h IS NULL) AS kept
+         |  FROM b LEFT JOIN art a ON md5(b.block) = a.h)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+         |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  coalesce(string_agg(CASE WHEN kept THEN block END, ' ' ORDER BY pos), '')
+         |    AS text_dedup
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
     "dedup_span_incremental" -> {

@@ -1288,6 +1288,43 @@ object Dedup {
             x => x.getField("block")),
           " ").as("text_dedup"))
 
+  /** STREAMING span ingest — [[spanDedupIncremental]] as an AvailableNow
+    * stream over the same incoming construction as
+    * `dedup_incremental_stream` (shared staged input, shared injection):
+    * each micro-batch rewrites its documents against the STATIC block
+    * artifact via `foreachBatch` (the O20 delivery-sink precedent). The
+    * corpus artifacts ARE the state — no watermark, no state store — and
+    * the rewrite is correct under ANY batch split because one document
+    * is one input row: its explode, artifact join, and reassembly all
+    * happen inside the batch that carries it. Stream == batch equality
+    * is spec-pinned.
+    */
+  def runStreamingSpanIncremental(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+    val base = graft.spark.TmpDirs.create("graft_sspan_")
+    val out = s"$base/out"; val cp = s"$base/cp"
+    val existing = graft.spark.Transcripts.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val art = spanArtifacts(existing)
+    val in = graft.spark.Staged.incomingDocs(spark, sfDir)
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    spark.readStream.schema(schema).parquet(in)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        spanDedupIncremental(art, batch)
+          .write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    spark.read.parquet(out)
+  }
+
   /** Stop-gram document-frequency cap for [[containmentPairs]] — a
     * shingle appearing in more documents than this is boilerplate and
     * generates no pairs (dropped OBSERVABLY, the [[minhashMaxBucket]]

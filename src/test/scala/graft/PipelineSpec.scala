@@ -1858,6 +1858,23 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.queryExecution.executedPlan.toString.contains("ExistingRDD"))
   }
 
+  test("dedup: streaming span ingest equals the batch operator") {
+    import graft.operators.Dedup
+    val streamed = Dedup.runStreamingSpanIncremental(spark, sfDir)
+    val base = Transcripts.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val existing = base.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val incoming = base.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .unionAll(existing.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+    val batch = Dedup.spanDedupIncremental(Dedup.spanArtifacts(existing), incoming)
+    assert(streamed.count() == batch.count() && streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0
+      && batch.exceptAll(streamed).count() == 0)
+    // the re-ingested full copies lose every block
+    assert(streamed.filter(col("doc_id") >= 2000000L
+      && (col("n_kept") =!= 0L || col("text_dedup") =!= "")).count() == 0)
+  }
+
   test("dedup: span rewrite drops the borrowed paragraph, keeps the borrower's own prose") {
     import graft.operators.Dedup
     val d = Transcripts.documents(spark, sfDir).select(col("doc_id"), col("text"))
