@@ -235,6 +235,9 @@ object Plans {
       ("Span dedup with text rewrite (dedup_span)",
         "narrow posexplode into 10-token blocks -> keeper = skew-safe partial MIN-STRUCT groupBy on the block hash (a row_number window would serialize a boilerplate block's 10^9 instances into one task) -> hash equi-join back (AQE skew-handled) -> one groupBy(doc_id) ordered reassembly",
         fmt(Dedup.spanDedup(doc.select(col("doc_id"), col("text"))))),
+      ("Exact-N per-stratum sampling (sample_exact_n)",
+        "two-phase: rate PREFILTER decided map-side off the broadcast per-stratum count table (corpus unshuffled) -> only the ~safety*N-per-stratum sliver pays the rank Window — a bare row_number over a 10^12-row stratum would serialize into one task",
+        fmt(Sampling.exactNSample(doc))),
       ("Per-domain cap (rate form, skew-free)",
         "the ONLY hash shuffle is the tiny (host, partial count) agg; the O(domains) rate table BROADCASTS back; kept decided map-side from the salted hash — no per-domain window, so a mega-domain never lands in one task",
         fmt(Sampling.domainCap(doc.select(col("doc_id"),

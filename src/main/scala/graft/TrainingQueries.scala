@@ -391,6 +391,12 @@ object TrainingQueries {
         .orderBy("doc_id")
     }),
 
+    // EXACT-N per-stratum sampling: the N smallest salted hashes per
+    // language via the two-phase rate-prefilter + bounded rank window
+    // (eval-set construction needs exactly N, deterministically)
+    "sample_exact_n" -> ((s, dir) =>
+      Sampling.exactNSample(Transcripts.documents(s, dir)).orderBy("doc_id")),
+
     // deterministic fractional upweighting: epoch-style replication for
     // mixture weights > 1 (narrow explode, no shuffle)
     "sample_upweight" -> ((s, dir) =>
@@ -943,6 +949,34 @@ object TrainingQueries {
          |    * 1.0 / 4294967296 < n.keep_rate AS kept
          |FROM d JOIN n ON d.host = n.host
          |ORDER BY d.doc_id""".stripMargin
+    },
+
+    "sample_exact_n" -> {
+      val n = Sampling.exactSampleN
+      val sn = Sampling.exactSampleSafety * n
+      s"""WITH s AS (
+         |  SELECT doc_id, text,
+         |    ${duckLangCounts()}
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id,
+         |    $duckLangCase AS predicted,
+         |    CAST('0x' || substr(md5('graft-exactn:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+         |      * 1.0 / 4294967296 AS u
+         |  FROM s),
+         |r AS (
+         |  SELECT predicted,
+         |    least(CAST(1.0 AS DOUBLE), CAST($sn AS DOUBLE) / count(*)) AS rate
+         |  FROM p GROUP BY predicted),
+         |cand AS (
+         |  SELECT p.doc_id, p.predicted, p.u FROM p JOIN r USING (predicted)
+         |  WHERE p.u < r.rate),
+         |k AS (
+         |  SELECT doc_id, predicted, u,
+         |    row_number() OVER (PARTITION BY predicted ORDER BY u, doc_id) AS rank
+         |  FROM cand)
+         |SELECT doc_id, predicted, u, CAST(rank AS INTEGER) AS rank
+         |FROM k WHERE rank <= $n ORDER BY doc_id""".stripMargin
     },
 
     "sample_upweight" -> {

@@ -352,6 +352,66 @@ object Sampling {
   /** Default per-domain document cap for [[domainCap]]. */
   val domainCapDocs = 25L
 
+  /** Per-stratum sample size / prefilter safety factor for
+    * [[exactNSample]].
+    */
+  val exactSampleN = 20
+  val exactSampleSafety = 4.0
+
+  /** EXACT-N per-stratum sampling — the other half of the sampling
+    * charter ([[stratifiedSample]] delivers a RATE, [[domainCap]] an
+    * expected count; eval-set construction and ablation suites need
+    * EXACTLY N per stratum, deterministically): the sample is the N
+    * smallest salted hashes per predicted language. The scale shape is
+    * the two-phase trick: a rate PREFILTER (`u < safety*n/|stratum|`,
+    * decided map-side off a broadcast count table — the corpus never
+    * shuffles) bounds each stratum's candidates to ~safety*n rows, and
+    * only THAT sliver pays the per-stratum rank window (a bare
+    * `row_number over (partition by stratum)` would serialize a
+    * 10^12-row stratum into one task). The prefilter keeps the true
+    * top-N as long as at least N hashes fall under the rate — a
+    * short stratum (candidate pool under N) is detectable via
+    * [[exactNShortStrata]] — the tiny per-stratum audit a pipeline
+    * alerts on (the shortness is a per-STRATUM aggregate, so unlike the
+    * row-level `graft_guard_*` metrics it cannot ride the scan as an
+    * observation). Deterministic and salt-keyed; output
+    * `(doc_id, predicted, u, rank)`.
+    */
+  def exactNSample(doc: DataFrame, n: Int = exactSampleN,
+      safety: Double = exactSampleSafety, salt: String = "graft-exactn"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("predicted").orderBy(col("u"), col("doc_id"))
+    exactNCandidates(doc, n, safety, salt)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= n)
+      .select(col("doc_id"), col("predicted"), col("u"),
+        col("rank").cast("int").as("rank"))
+  }
+
+  /** The rate-prefiltered candidate pool of [[exactNSample]] — map-side
+    * decided off the broadcast per-stratum count table.
+    */
+  private def exactNCandidates(doc: DataFrame, n: Int, safety: Double,
+      salt: String): DataFrame = {
+    val p = doc.select(col("doc_id"), TextAnalysis.langPredicted.as("predicted"),
+      uniformHash(salt, col("doc_id")).as("u"))
+    val rates = p.groupBy("predicted").agg(count(lit(1)).as("n_stratum"))
+      .select(col("predicted"),
+        least(lit(1.0), lit(safety * n) / col("n_stratum").cast("double"))
+          .as("rate"))
+    p.join(broadcast(rates), Seq("predicted")).filter(col("u") < col("rate"))
+  }
+
+  /** Audit for [[exactNSample]]'s prefilter: the strata whose candidate
+    * pool came in under N (empty = every stratum delivered a full exact-N
+    * sample; non-empty = raise `safety` for those strata). O(strata) rows.
+    */
+  def exactNShortStrata(doc: DataFrame, n: Int = exactSampleN,
+      safety: Double = exactSampleSafety, salt: String = "graft-exactn"): DataFrame =
+    exactNCandidates(doc, n, safety, salt)
+      .groupBy("predicted").agg(count(lit(1)).as("n_cand"))
+      .filter(col("n_cand") < n)
+
   /** Per-DOMAIN document cap — the crawl-curation rule every web corpus
     * applies (C4/RefinedWeb shape: no single host may dominate the
     * mixture): a domain with `n <= cap` documents keeps them all; a

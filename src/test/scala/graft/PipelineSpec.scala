@@ -1907,6 +1907,29 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       && !plan.contains("CartesianProduct"), s"plan:\n$plan")
   }
 
+  test("sample: exact-N delivers exactly N per stratum; prefilter audit is clean") {
+    import graft.operators.Sampling
+    val doc = Transcripts.documents(spark, sfDir)
+    val out = Sampling.exactNSample(doc, n = 10)
+    // every stratum with >= 10 docs delivers exactly 10; smaller strata
+    // deliver all their docs
+    val perStratum = out.groupBy("predicted").agg(count(lit(1)).as("got"),
+      max(col("rank")).as("maxr"))
+    val sizes = doc.select(graft.operators.TextAnalysis.langPredicted.as("predicted"))
+      .groupBy("predicted").agg(count(lit(1)).as("n_stratum"))
+    assert(perStratum.join(sizes, Seq("predicted"))
+      .filter(col("got") =!= least(lit(10L), col("n_stratum"))).count() == 0)
+    // the sample is the N SMALLEST hashes: re-running with full rank on
+    // the unfiltered pool agrees (prefilter dropped nothing that counts)
+    assert(Sampling.exactNShortStrata(doc, n = 10).count() == 0)
+    // ranks are dense from 1
+    assert(out.filter(col("rank") < 1 || col("rank") > 10).count() == 0)
+    // the window only ever sees the prefiltered sliver: candidate filter
+    // sits UNDER the window in the plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"plan:\n$plan")
+  }
+
   test("sample: domain cap keeps small domains whole, thins the mega-domain; corpus never shuffles") {
     import graft.operators.Sampling
     val host = when(pmod(col("doc_id"), lit(4)) === 0, lit("hub.example.com"))
