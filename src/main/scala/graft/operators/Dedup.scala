@@ -1296,8 +1296,10 @@ object Dedup {
     * corpus artifacts ARE the state — no watermark, no state store — and
     * the rewrite is correct under ANY batch split because one document
     * is one input row: its explode, artifact join, and reassembly all
-    * happen inside the batch that carries it. Stream == batch equality
-    * is spec-pinned.
+    * happen inside the batch that carries it. Each batch OVERWRITES its
+    * own batchId-scoped directory (the O20 delivery-sink idempotency
+    * rule: a checkpoint-replayed batch rewrites, never duplicates).
+    * Stream == batch equality is spec-pinned.
     */
   def runStreamingSpanIncremental(
       spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
@@ -1314,15 +1316,16 @@ object Dedup {
       StructField("doc_id", LongType), StructField("text", StringType)))
     spark.readStream.schema(schema).parquet(in)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         spanDedupIncremental(art, batch)
-          .write.mode("append").parquet(out)
+          .write.mode("overwrite").parquet(s"$out/b$batchId")
+        ()
       }
       .option("checkpointLocation", cp)
       .trigger(Trigger.AvailableNow())
       .start()
       .awaitTermination()
-    spark.read.parquet(out)
+    spark.read.option("recursiveFileLookup", "true").parquet(out)
   }
 
   /** Stop-gram document-frequency cap for [[containmentPairs]] — a

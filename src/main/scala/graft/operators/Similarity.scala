@@ -463,6 +463,8 @@ object Similarity {
     */
   private def pqCodesCol(cents: Array[(Long, Array[Double])]): Column = {
     import graft.spark.VectorFunctions.vecDot
+    require(cents.length >= pqCodes,
+      s"PQ codebook needs $pqCodes centroid vectors, got ${cents.length}")
     val codes = (0 until pqSubspaces).map { j =>
       val xs = pqSubvector(j)
       val darr = pqDistArr(cents, xs, vecDot(xs, xs), j)
@@ -508,6 +510,8 @@ object Similarity {
   def pqTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
     import graft.spark.VectorFunctions.vecDot
     val cents = collectCentroids(emb)
+    require(cents.length >= pqCodes,
+      s"PQ codebook needs $pqCodes centroid vectors, got ${cents.length}")
     val enc = pqEncodeWith(emb, cents)
       .select(col("vec_id").as("neighbor_id"), col("codes"))
     val luts = (0 until pqSubspaces).map { j =>
