@@ -196,6 +196,9 @@ object Plans {
         fmt(Similarity.pooledEmbeddings(emb,
           org.apache.spark.sql.functions.pmod(col("vec_id"),
             org.apache.spark.sql.functions.lit(Transcripts.Conversations.toLong))))),
+      ("Chat-protocol validation (conv_protocol)",
+        "one lag Window on (conv_id, turn_idx) feeding a groupBy on the SAME conv_id partitioning — the Exchange is paid once (reuse); open/close/doubled-turn rules are expressions over the windowed rows",
+        fmt(Transcripts.convProtocol(Transcripts.rawTurns(spark, sfDir)))),
       ("SFT batch prep end to end (conv_sft_e2e)",
         "render's ONE groupBy(conv_id) -> salted shard hash -> per-shard prefix-sum window (each shard's sort fits one task; raise sftShards at scale, nothing else changes): TWO Exchanges total, no global order ever materializes",
         fmt(Transcripts.convSftPack(Transcripts.rawTurns(spark, sfDir)))),

@@ -96,6 +96,13 @@ object SparkEntry {
       Transcripts.convSftPack(Transcripts.rawTurns(s, dir))
         .orderBy("conv_id")),
 
+    // chat-protocol validation: opens with user, closes with assistant,
+    // no doubled user/assistant turns (tool chains allowed); one lag
+    // window + a groupBy on the same conv_id partitioning
+    "conv_protocol" -> ((s, dir) =>
+      Transcripts.convProtocol(Transcripts.rawTurns(s, dir))
+        .orderBy("conv_id")),
+
     "o11_extract_html" -> ((s, dir) => {
       import s.implicits._
       Transcripts.documents(s, dir)
@@ -776,6 +783,30 @@ object SparkEntry {
            |  CAST(prev_cum // ${Transcripts.sftCharBudget} AS BIGINT) AS pack_id,
            |  CAST(prev_cum % ${Transcripts.sftCharBudget} AS BIGINT) AS pack_offset
            |FROM c ORDER BY conv_id""".stripMargin,
+
+      "conv_protocol" ->
+        s"""WITH t AS (
+           |  SELECT
+           |    'conv-' || lpad(CAST(doc_id % ${Transcripts.Conversations} AS VARCHAR), 4, '0') AS conv_id,
+           |    CAST(doc_id // ${Transcripts.Conversations} AS INTEGER) AS turn_idx,
+           |    CASE WHEN doc_id % 3 = 0 THEN 'user'
+           |         WHEN doc_id % 3 = 1 THEN 'assistant' ELSE 'tool' END AS role
+           |  FROM documents),
+           |l AS (
+           |  SELECT conv_id, turn_idx, role,
+           |    lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+           |  FROM t),
+           |g AS (
+           |  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+           |    arg_min(role, turn_idx) = 'user' AS starts_user,
+           |    arg_max(role, turn_idx) = 'assistant' AS ends_assistant,
+           |    CAST(sum(CASE WHEN role = prev_role
+           |      AND role IN ('user', 'assistant') THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_role_repeats
+           |  FROM l GROUP BY conv_id)
+           |SELECT conv_id, n_turns, starts_user, ends_assistant, n_role_repeats,
+           |  starts_user AND ends_assistant AND n_role_repeats = 0 AS valid
+           |FROM g ORDER BY conv_id""".stripMargin,
 
       "o11_extract_html" ->
         "SELECT doc_id, text FROM documents ORDER BY doc_id",

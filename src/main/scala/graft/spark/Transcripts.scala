@@ -317,6 +317,41 @@ object Transcripts {
         (col("prev_cum") % lit(budget)).cast("long").as("pack_offset"))
   }
 
+  /** Chat-PROTOCOL validation — the fourth verb of the conv-curation
+    * charter (drop / cap / stratify / VALIDATE): an SFT sample is only
+    * usable if the conversation is well-formed, so per conversation this
+    * checks (1) it OPENS with a user turn, (2) it CLOSES with an
+    * assistant turn (the span the loss trains on), and (3) no
+    * consecutive same-role user or assistant turns (tool chains are
+    * legitimate — an agent may call tools repeatedly; doubled user or
+    * assistant turns mean a lost message). Output one verdict row per
+    * conversation `(conv_id, n_turns, starts_user, ends_assistant,
+    * n_role_repeats, valid)`.
+    *
+    * Plan shape: one `lag` window on (conv_id, turn_idx) feeding a
+    * groupBy on the SAME conv_id partitioning — the Exchange is paid
+    * once (reuse), and a conversation's turns fit one partition
+    * ([[convCap]] bounds them upstream).
+    */
+  def convProtocol(t: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("conv_id").orderBy("turn_idx")
+    t.select(col("conv_id"), col("turn_idx"), col("role"))
+      .withColumn("prev_role", lag(col("role"), 1).over(w))
+      .groupBy("conv_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_turns"),
+        (min(struct(col("turn_idx"), col("role"))).getField("role") === "user")
+          .as("starts_user"),
+        (max(struct(col("turn_idx"), col("role"))).getField("role") === "assistant")
+          .as("ends_assistant"),
+        sum(when(col("role") === col("prev_role")
+          && col("role").isin("user", "assistant"), 1L).otherwise(0L))
+          .as("n_role_repeats"))
+      .withColumn("valid",
+        col("starts_user") && col("ends_assistant") && col("n_role_repeats") === 0L)
+  }
+
   def convFilter(t: DataFrame, minTurns: Int = 2, maxToolShare: Double = 0.8): DataFrame = {
     val keep = t.groupBy("conv_id")
       .agg(count(lit(1)).as("n_turns"),

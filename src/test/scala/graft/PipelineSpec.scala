@@ -1750,6 +1750,32 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"plan:\n$plan")
   }
 
+  test("conv: protocol validation flags doubled user turns but allows tool chains") {
+    import spark.implicits._
+    val t = Seq(
+      ("good", 0, "user"), ("good", 1, "assistant"), ("good", 2, "tool"),
+      ("good", 3, "tool"), ("good", 4, "assistant"),
+      ("doubled", 0, "user"), ("doubled", 1, "user"), ("doubled", 2, "assistant"),
+      ("headless", 0, "assistant"), ("headless", 1, "user"), ("headless", 2, "assistant"),
+      ("tailless", 0, "user"), ("tailless", 1, "tool")
+    ).toDF("conv_id", "turn_idx", "role")
+    val v = Transcripts.convProtocol(t).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(v("good").getAs[Boolean]("valid"))
+    assert(v("good").getAs[Long]("n_role_repeats") == 0L)
+    assert(!v("doubled").getAs[Boolean]("valid")
+      && v("doubled").getAs[Long]("n_role_repeats") == 1L)
+    assert(!v("headless").getAs[Boolean]("valid")
+      && !v("headless").getAs[Boolean]("starts_user"))
+    assert(!v("tailless").getAs[Boolean]("valid")
+      && !v("tailless").getAs[Boolean]("ends_assistant"))
+    // the lag window and the groupBy share ONE conv_id Exchange
+    val plan = Transcripts.convProtocol(Transcripts.rawTurns(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllMatchIn(plan).length == 1,
+      s"plan:\n$plan")
+  }
+
   test("conv: SFT pack keeps shard-local prefix sums coherent, offsets within budget") {
     val t = Transcripts.rawTurns(spark, sfDir)
     val out = Transcripts.convSftPack(t)
