@@ -215,6 +215,18 @@ object Plans {
       ("BPE encoding with trained merges (text_bpe_apply)",
         "the trained merge list rides the plan as chained replace literals (round order, cascading) — a pure ZERO-Exchange narrow map over the corpus; training's own cost is one tiny-key shuffle + a 1-row collect per round, upstream",
         fmt(TextAnalysis.bpeApply(doc))),
+      ("Crawl-frontier ingest (url_frontier_e2e)",
+        "canonicalize + bloom probe are ONE narrow map (the filter rides as a single binary literal); no-hit urls bypass the join entirely; candidates run the exact canonical-key equi-join; the host cap is the broadcast rate-table decision — the frontier batch never hash-shuffles",
+        {
+          import graft.operators.Frontier
+          val urls = doc.select(col("doc_id").as("url_id"),
+            org.apache.spark.sql.functions.concat(
+              org.apache.spark.sql.functions.lit("https://"), col("source"),
+              org.apache.spark.sql.functions.lit(".example.com/page/"),
+              col("doc_id")).as("url"))
+          fmt(Frontier.frontierIngest(
+            Frontier.frontierArtifact(urls.select(col("url"))), urls))
+        }),
       ("Web-curation pipeline end to end (web_prep_e2e)",
         "domain cap decides map-side off the broadcast rate table (corpus unshuffled) -> span dedup's three equi-keyed shuffles over the CAPPED subset only -> narrow length gate -> per-host report joins three tiny host-level aggregates",
         {

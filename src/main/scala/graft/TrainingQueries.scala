@@ -461,6 +461,34 @@ object TrainingQueries {
       Dedup.spanDedup(d.unionAll(borrow)).orderBy("doc_id")
     }),
 
+    // the crawl-FRONTIER pipeline end to end: canonicalize -> bloom
+    // prescreen -> exact dedup vs the crawled-key artifact -> per-host
+    // rate cap on the NEW urls (politeness); re-crawl variants (upper
+    // host + tracking params + trailing slash) collapse onto their
+    // crawled keys, the hub host exercises the cap
+    "url_frontier_e2e" -> ((s, dir) => {
+      import graft.operators.Frontier
+      val d = Transcripts.documents(s, dir)
+      val crawled = d.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+        .select(concat(lit("https://"), col("source"),
+          lit(".example.com/page/"), col("doc_id")).as("url"))
+      val recrawl = d.filter(pmod(col("doc_id"), lit(3)) =!= 0
+          && pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 5000000L).as("url_id"),
+          concat(lit("https://"), upper(col("source")),
+            lit(".EXAMPLE.com/page/"), col("doc_id"),
+            lit("/?utm_source=feed")).as("url"))
+      val fresh = d.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id").as("url_id"),
+          concat(lit("https://"),
+            when(pmod(col("doc_id"), lit(4)) === 0, lit("hub"))
+              .otherwise(col("source")),
+            lit(".example.com/new/"), col("doc_id")).as("url"))
+      Frontier.frontierIngest(Frontier.frontierArtifact(crawled),
+          recrawl.unionAll(fresh))
+        .orderBy("url_id")
+    }),
+
     // the WEB-curation pipeline end to end: per-domain cap (rate form)
     // -> cross-doc span dedup with rewrite -> post-dedup length gate
     // (>= one block of fresh text) -> compact per-host report; every
@@ -1153,6 +1181,47 @@ object TrainingQueries {
          |  coalesce(string_agg(CASE WHEN kept THEN block END, ' ' ORDER BY pos), '')
          |    AS text_dedup
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    "url_frontier_e2e" -> {
+      // the bloom-less twin (the bloom is an internal bypass whose result
+      // is invariant — the dedup_incremental_bloom precedent); canonical
+      // forms are hand-derived per URL class like the url_canonical twin
+      val cap = Sampling.domainCapDocs
+      s"""WITH d AS (SELECT doc_id, source FROM documents),
+         |crawled AS (
+         |  SELECT DISTINCT 'https://' || source || '.example.com/page/'
+         |    || CAST(doc_id AS VARCHAR) AS canonical
+         |  FROM d WHERE doc_id % 3 <> 0),
+         |inc AS (
+         |  SELECT doc_id + 5000000 AS url_id,
+         |    'https://' || source || '.example.com/page/'
+         |      || CAST(doc_id AS VARCHAR) AS canonical
+         |  FROM d WHERE doc_id % 3 <> 0 AND doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id AS url_id,
+         |    'https://' || CASE WHEN doc_id % 4 = 0 THEN 'hub' ELSE source END
+         |      || '.example.com/new/' || CAST(doc_id AS VARCHAR) AS canonical
+         |  FROM d WHERE doc_id % 3 = 0),
+         |h AS (
+         |  SELECT url_id, canonical,
+         |    regexp_extract(canonical, '^[a-z0-9+.-]+://([^/]+)', 1) AS host,
+         |    canonical IN (SELECT canonical FROM crawled) AS dup
+         |  FROM inc),
+         |newu AS (SELECT * FROM h WHERE NOT dup),
+         |n AS (
+         |  SELECT host,
+         |    least(CAST(1.0 AS DOUBLE), CAST($cap AS DOUBLE) / count(*)) AS keep_rate
+         |  FROM newu GROUP BY host),
+         |k AS (
+         |  SELECT newu.url_id, TRUE AS kept
+         |  FROM newu JOIN n USING (host)
+         |  WHERE CAST('0x' || substr(md5('graft-domain:' || CAST(newu.url_id AS VARCHAR)), 1, 8) AS BIGINT)
+         |    * 1.0 / 4294967296 < n.keep_rate)
+         |SELECT h.url_id, h.canonical, h.host, h.dup,
+         |  coalesce(k.kept, FALSE) AS kept
+         |FROM h LEFT JOIN k USING (url_id)
+         |ORDER BY h.url_id""".stripMargin
     },
 
     "web_prep_e2e" -> {

@@ -1846,6 +1846,21 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       && !pplan.contains("CartesianProduct"), s"plan:\n$pplan")
   }
 
+  test("frontier: re-crawl variants collapse onto crawled keys; new urls are host-capped") {
+    val out = SparkEntry.queries("url_frontier_e2e")(spark, sfDir)
+    // every re-crawl (url_id >= 5000000) is a dup and never kept
+    assert(out.filter(col("url_id") >= 5000000L).count() > 0)
+    assert(out.filter(col("url_id") >= 5000000L
+      && (!col("dup") || col("kept"))).count() == 0)
+    // fresh urls are never dups; kept implies new
+    assert(out.filter(col("url_id") < 5000000L && col("dup")).count() == 0)
+    assert(out.filter(col("dup") && col("kept")).count() == 0)
+    // the hub host exceeds the cap and is genuinely thinned
+    val hub = out.filter(col("host") === "hub.example.com")
+    assert(hub.count() > graft.operators.Sampling.domainCapDocs)
+    assert(hub.filter(col("kept")).count() < hub.count())
+  }
+
   test("web_prep_e2e: per-host funnel is monotone and conserves the corpus") {
     val out = SparkEntry.queries("web_prep_e2e")(spark, sfDir)
     assert(out.count() > 0)
