@@ -330,6 +330,12 @@ object TrainingQueries {
       TextAnalysis.corpusStats(Transcripts.documents(s, dir))
         .orderBy("source", "predicted")),
 
+    // per-source length quantiles (exact percentile; dyadic percentages
+    // over small-int token counts -> bit-exact across both engines)
+    "source_quantiles" -> ((s, dir) =>
+      TextAnalysis.sourceQuantiles(Transcripts.documents(s, dir))
+        .orderBy("source")),
+
     // filter-funnel datasheet: first-rejecting-stage attribution across
     // the narrow quality rules (one scan + one O(stages) agg)
     "quality_funnel" -> ((s, dir) =>
@@ -1557,6 +1563,13 @@ object TrainingQueries {
          |  round(sum(n_tokens) * 1.0 / count(*), 4) AS mean_tokens,
          |  CAST(sum(CASE WHEN n_tokens < ${TextAnalysis.shortDocTokens} THEN 1 ELSE 0 END) AS BIGINT) AS n_short
          |FROM p GROUP BY 1, 2 ORDER BY source, predicted""".stripMargin,
+
+    "source_quantiles" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  quantile_cont(len(string_split(text, ' ')), 0.25) AS p25_tokens,
+        |  quantile_cont(len(string_split(text, ' ')), 0.5) AS p50_tokens,
+        |  quantile_cont(len(string_split(text, ' ')), 0.75) AS p75_tokens
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "sample_shuffle" ->
       s"""WITH k AS (

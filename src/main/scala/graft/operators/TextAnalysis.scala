@@ -273,6 +273,27 @@ object TextAnalysis {
         sum(when(col("n_tokens") < shortDocTokens, 1L).otherwise(0L)).as("n_short"))
   }
 
+  /** Per-source length QUANTILES — the distributional half of
+    * [[corpusStats]]' datasheet (means hide the tail; releases report
+    * p25/p50/p75 doc lengths per source). Uses Spark's EXACT `percentile`
+    * aggregate: token counts are small integers and the percentages are
+    * dyadic (1/4, 1/2, 3/4), so the linear interpolation is exact in
+    * float64 on BOTH engines — DuckDB's `quantile_cont` matches
+    * bit-for-bit despite the different interpolation formula (every
+    * intermediate is exactly representable). One groupBy(source); the
+    * exact percentile sorts WITHIN each group (bounded by the largest
+    * source at this scale — a 10^12-doc source switches to
+    * `approx_percentile` with a documented error bound, same plan shape).
+    */
+  def sourceQuantiles(doc: DataFrame): DataFrame =
+    doc.select(col("source"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        percentile(col("n_tokens"), lit(0.25)).as("p25_tokens"),
+        percentile(col("n_tokens"), lit(0.5)).as("p50_tokens"),
+        percentile(col("n_tokens"), lit(0.75)).as("p75_tokens"))
+
   /** Blocklist filtering in the C4 tradition (Raffel et al. 2020 drop any
     * page containing a "bad words" list hit; RefinedWeb/CCNet block at the
     * source/domain level): a document is kept iff its source is not

@@ -1797,6 +1797,22 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"plan:\n$plan")
   }
 
+  test("text: source quantiles are ordered and the median hand-checks") {
+    import graft.operators.TextAnalysis
+    val doc = Transcripts.documents(spark, sfDir)
+    val out = TextAnalysis.sourceQuantiles(doc)
+    assert(out.filter(col("p25_tokens") > col("p50_tokens")
+      || col("p50_tokens") > col("p75_tokens")).count() == 0)
+    val src = doc.select(col("source")).head.getString(0)
+    val xs = doc.filter(col("source") === src)
+      .select(size(split(col("text"), " ")).cast("double"))
+      .collect().map(_.getDouble(0)).sorted
+    val n = xs.length
+    val expected = if (n % 2 == 1) xs(n / 2) else (xs(n / 2 - 1) + xs(n / 2)) / 2.0
+    val got = out.filter(col("source") === src).select("p50_tokens").head.getDouble(0)
+    assert(got == expected, s"median of $src: got $got, expected $expected")
+  }
+
   test("text: BPE encoding is a zero-Exchange narrow map and round-trips losslessly") {
     import graft.operators.TextAnalysis
     val doc = Transcripts.documents(spark, sfDir)
