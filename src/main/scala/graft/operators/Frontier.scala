@@ -81,8 +81,7 @@ object Frontier {
       .withColumn("cand", mightContain(bloom, col("canonical")))
       .localCheckpoint(true)
     val dups = inc.filter(col("cand"))
-      .join(art.withColumn("hit", lit(true)), Seq("canonical"), "left")
-      .filter(col("hit"))
+      .join(art, Seq("canonical"), "left_semi")
       .select(col("url_id"), lit(true).as("dup"))
     val flagged = inc.join(dups, Seq("url_id"), "left")
       .withColumn("dup", coalesce(col("dup"), lit(false)))
