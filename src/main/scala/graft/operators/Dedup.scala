@@ -1310,11 +1310,32 @@ object Dedup {
       .filter(pmod(col("doc_id"), lit(3)) =!= 0)
     val art = spanArtifacts(existing)
     val in = graft.spark.Staged.incomingDocs(spark, sfDir)
+    spanStreamQuery(spark, art, in, out, cp).awaitTermination()
+    spark.read.option("recursiveFileLookup", "true").parquet(out)
+  }
+
+  /** The streaming span-ingest query itself, parameterized on
+    * `maxFilesPerTrigger` — exposed so the spec can force MULTIPLE
+    * AvailableNow micro-batches and pin per-batch independence (each doc
+    * is rewritten in exactly the batch that carries its row, whatever
+    * the split).
+    */
+  private[graft] def spanStreamQuery(
+      spark: org.apache.spark.sql.SparkSession,
+      art: DataFrame,
+      in: String,
+      out: String,
+      cp: String,
+      maxFilesPerTrigger: Option[Int] = None
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
-    spark.readStream.schema(schema).parquet(in)
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
+      .parquet(in)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         spanDedupIncremental(art, batch)
@@ -1324,8 +1345,6 @@ object Dedup {
       .option("checkpointLocation", cp)
       .trigger(Trigger.AvailableNow())
       .start()
-      .awaitTermination()
-    spark.read.option("recursiveFileLookup", "true").parquet(out)
   }
 
   /** Stop-gram document-frequency cap for [[containmentPairs]] — a

@@ -1930,6 +1930,21 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the re-ingested full copies lose every block
     assert(streamed.filter(col("doc_id") >= 2000000L
       && (col("n_kept") =!= 0L || col("text_dedup") =!= "")).count() == 0)
+    // force TWO micro-batches (2 files, maxFilesPerTrigger=1): per-batch
+    // independence means the split changes nothing
+    val base2 = tmpDir("graft_sspan2_")
+    incoming.repartition(2).write.mode("overwrite").parquet(s"$base2/in")
+    val q = graft.operators.Dedup.spanStreamQuery(spark,
+      Dedup.spanArtifacts(existing), s"$base2/in", s"$base2/out", s"$base2/cp",
+      maxFilesPerTrigger = Some(1))
+    q.awaitTermination()
+    val multi = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$base2/out")
+    assert(new java.io.File(s"$base2/out").listFiles()
+      .count(_.getName.startsWith("b")) >= 2)
+    assert(multi.count() == batch.count()
+      && multi.exceptAll(batch).count() == 0
+      && batch.exceptAll(multi).count() == 0)
   }
 
   test("dedup: span rewrite drops the borrowed paragraph, keeps the borrower's own prose") {
