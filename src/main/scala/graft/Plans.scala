@@ -238,6 +238,14 @@ object Plans {
             .join(d.select(col("doc_id"), col("text")), Seq("doc_id"))
           fmt(Dedup.spanDedup(capped.select(col("doc_id"), col("text"))))
         }),
+      ("Two-epoch incremental ingest (artifact append, dedup_incremental_epoch)",
+        "epoch-1 survivors' hashAndBands rows UNION onto the artifact table (one narrow pass over the BATCH — the existing corpus is never rescanned); epoch 2 runs the same equi-joins against the merged artifacts, catching cross-epoch duplicates",
+        {
+          val base = doc.select(col("doc_id"), col("text"))
+          val art0 = Dedup.corpusArtifacts(base)
+          fmt(Dedup.incrementalDedupWith(
+            Dedup.updateArtifacts(art0, base.limit(10)), base))
+        }),
       ("Span ingest dedup (incoming vs block artifact, dedup_span_incremental)",
         "incoming docs explode narrowly; ONE left equi-join against the checkpointed 16-byte-per-block artifact (the corpus text never rescans); one groupBy(doc_id) ordered reassembly — syndicated boilerplate stripped at the door",
         {

@@ -600,6 +600,24 @@ object TrainingQueries {
         .orderBy("doc_id")
     }),
 
+    // TWO-EPOCH incremental ingest: epoch-1 survivors are absorbed into
+    // the artifacts (updateArtifacts — no corpus rescan), so epoch-2
+    // copies of epoch-1 docs (+6000000 injection) drop — the cross-epoch
+    // catch single-epoch ingest misses
+    "dedup_incremental_epoch" -> ((s, dir) => {
+      val base = Transcripts.documents(s, dir).select(col("doc_id"), col("text"))
+      val existing = base.filter(pmod(col("doc_id"), lit(3)) === 1)
+      val epoch1 = base.filter(pmod(col("doc_id"), lit(3)) === 2)
+      val epoch2 = base.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .unionAll(epoch1.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select((col("doc_id") + 6000000L).as("doc_id"), col("text")))
+      val art0 = Dedup.corpusArtifacts(existing)
+      val kept1 = Dedup.incrementalDedupWith(art0, epoch1)
+      Dedup.incrementalDedupWith(Dedup.updateArtifacts(art0, kept1), epoch2)
+        .select(col("doc_id"), length(col("text")).cast("int").as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // STREAMING incremental dedup: the same semantics as dedup_incremental
     // but with incoming docs as an AvailableNow stream checked against the
     // static corpus artifacts (stateless stream-static joins)
@@ -1760,6 +1778,8 @@ object TrainingQueries {
 
     "dedup_incremental" -> duckIncrementalSql,
 
+    "dedup_incremental_epoch" -> duckIncrementalEpochSql,
+
     // the Bloom pre-filter is result-invisible by construction (no false
     // negatives; candidates exact-confirmed) — same twin as the unscreened
     // operator, so the oracle itself proves the invisibility
@@ -1899,6 +1919,60 @@ object TrainingQueries {
          |FROM incoming
          |WHERE doc_id NOT IN (SELECT doc_id FROM neardup UNION SELECT doc_id FROM exactdup)
          |ORDER BY doc_id""".stripMargin
+
+  /** Two-epoch twin of [[duckIncrementalSql]]: epoch-1 survivors computed
+    * with the same hash/band semantics, their signatures UNIONED into the
+    * artifact sets (the updateArtifacts append), epoch 2 checked against
+    * the merged sets.
+    */
+  private lazy val duckIncrementalEpochSql: String =
+    s"""WITH existing AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1),
+       |epoch1 AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
+       |epoch2 AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 6000000 AS doc_id, text FROM epoch1 WHERE doc_id % 7 = 0),
+       |${duckSigCtes("e", "existing")},
+       |${duckSigCtes("p", "epoch1")},
+       |ebands AS (
+       |  SELECT DISTINCT band_idx, band_val FROM (
+       |  ${duckBandRows("esig", withDoc = false)})),
+       |pbands AS (
+       |  ${duckBandRows("psig", withDoc = true)}),
+       |pnear AS (
+       |  SELECT DISTINCT p.doc_id FROM pbands p
+       |  JOIN ebands e USING (band_idx, band_val)),
+       |pexact AS (
+       |  SELECT DISTINCT p.doc_id
+       |  FROM (SELECT doc_id, md5(text) AS h FROM epoch1) p
+       |  JOIN (SELECT DISTINCT md5(text) AS h FROM existing) e USING (h)),
+       |kept1 AS (
+       |  SELECT doc_id, text FROM epoch1
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM pnear UNION SELECT doc_id FROM pexact)),
+       |${duckSigCtes("k", "kept1")},
+       |mbands AS (
+       |  SELECT DISTINCT band_idx, band_val FROM (
+       |  ${duckBandRows("esig", withDoc = false)}
+       |  UNION ALL
+       |  ${duckBandRows("ksig", withDoc = false)})),
+       |mhash AS (
+       |  SELECT DISTINCT md5(text) AS h FROM existing
+       |  UNION SELECT DISTINCT md5(text) AS h FROM kept1),
+       |${duckSigCtes("i", "epoch2")},
+       |ibands AS (
+       |  ${duckBandRows("isig", withDoc = true)}),
+       |inear AS (
+       |  SELECT DISTINCT i.doc_id FROM ibands i
+       |  JOIN mbands m USING (band_idx, band_val)),
+       |iexact AS (
+       |  SELECT DISTINCT i.doc_id
+       |  FROM (SELECT doc_id, md5(text) AS h FROM epoch2) i JOIN mhash USING (h))
+       |SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars
+       |FROM epoch2
+       |WHERE doc_id NOT IN (SELECT doc_id FROM inear UNION SELECT doc_id FROM iexact)
+       |ORDER BY doc_id""".stripMargin
 
   /** The remainder of the oracle map (split only so
     * [[duckIncrementalSql]] can sit between the two halves as a shared

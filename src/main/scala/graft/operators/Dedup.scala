@@ -333,6 +333,19 @@ object Dedup {
   def corpusArtifacts(existing: DataFrame): DataFrame =
     hashAndBands(existing, Seq(col("doc_id"))).localCheckpoint(true)
 
+  /** Incremental artifact UPDATE — the per-epoch maintenance step the
+    * artifact scaladocs promise ("the persisted catalog tables the
+    * corpus maintains and APPENDS per ingest"): after an ingest batch,
+    * the kept documents' own [[hashAndBands]] rows are unioned onto the
+    * artifact table WITHOUT rescanning the existing corpus, so epoch N+1
+    * deduplicates against everything absorbed through epoch N. Set-equal
+    * to rebuilding `corpusArtifacts(existing ∪ kept)` from scratch
+    * (spec-pinned); cost is one narrow pass over the BATCH only. At
+    * 100 TB this is an append to the catalog table, not a checkpoint.
+    */
+  def updateArtifacts(art: DataFrame, kept: DataFrame): DataFrame =
+    art.unionByName(hashAndBands(kept, Seq(col("doc_id")))).localCheckpoint(true)
+
   /** [[incrementalDedup]] against prebuilt artifacts (see
     * [[corpusArtifacts]] for the table shape). NULL band values (short
     * docs) are dropped from the bucket table — they match nothing.

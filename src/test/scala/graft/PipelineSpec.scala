@@ -1915,6 +1915,28 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.queryExecution.executedPlan.toString.contains("ExistingRDD"))
   }
 
+  test("dedup: epoch artifact update absorbs survivors and equals a from-scratch rebuild") {
+    import graft.operators.Dedup
+    val base = Transcripts.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val existing = base.filter(pmod(col("doc_id"), lit(3)) === 1)
+    val epoch1 = base.filter(pmod(col("doc_id"), lit(3)) === 2)
+    val art0 = Dedup.corpusArtifacts(existing)
+    val kept1 = Dedup.incrementalDedupWith(art0, epoch1)
+    val updated = Dedup.updateArtifacts(art0, kept1)
+    // append == rebuild, as sets
+    val rebuilt = Dedup.corpusArtifacts(
+      existing.unionAll(kept1.select("doc_id", "text")))
+    assert(updated.exceptAll(rebuilt).count() == 0
+      && rebuilt.exceptAll(updated).count() == 0)
+    // the cross-epoch catch: copies of epoch-1 survivors drop against the
+    // UPDATED artifacts but sail through the stale ones
+    val copies = kept1.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .select((col("doc_id") + 6000000L).as("doc_id"), col("text"))
+    assert(copies.count() > 0)
+    assert(Dedup.incrementalDedupWith(updated, copies).count() == 0)
+    assert(Dedup.incrementalDedupWith(art0, copies).count() == copies.count())
+  }
+
   test("dedup: streaming span ingest equals the batch operator") {
     import graft.operators.Dedup
     val streamed = Dedup.runStreamingSpanIncremental(spark, sfDir)
