@@ -96,6 +96,14 @@ object SparkEntry {
       Transcripts.convSftPack(Transcripts.rawTurns(s, dir))
         .orderBy("conv_id")),
 
+    // STREAMING chat-template rendering: turns arrive as a stream,
+    // flatMapGroupsWithState accumulates each conversation and re-emits
+    // its current sample; last emission per conv == the batch render
+    // (shared oracle twin)
+    "conv_render_stream" -> ((s, dir) =>
+      graft.streaming.StreamPipeline.runStreamingRender(s, dir)
+        .orderBy("conv_id")),
+
     // chat-protocol validation: opens with user, closes with assistant,
     // no doubled user/assistant turns (tool chains allowed); one lag
     // window + a groupBy on the same conv_id partitioning
@@ -555,6 +563,30 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     baseOracleSql ++ TrainingQueries.oracleSql ++ ExtraQueries.oracleSql
 
+  /** Shared twin for `conv_render` and `conv_render_stream`: the
+    * stateful stream's last emission per conversation IS the batch
+    * render, so one oracle serves both.
+    */
+  private lazy val convRenderSql: String =
+    s"""WITH t AS (
+       |  SELECT
+       |    'conv-' || lpad(CAST(doc_id % ${Transcripts.Conversations} AS VARCHAR), 4, '0') AS conv_id,
+       |    CAST(doc_id // ${Transcripts.Conversations} AS INTEGER) AS turn_idx,
+       |    CASE WHEN doc_id % 3 = 0 THEN 'user'
+       |         WHEN doc_id % 3 = 1 THEN 'assistant' ELSE 'tool' END AS role,
+       |    text
+       |  FROM documents),
+       |r AS (
+       |  SELECT conv_id, turn_idx, role,
+       |    '<|' || role || '|>' || chr(10) || text || chr(10) AS r
+       |  FROM t)
+       |SELECT conv_id, count(*) AS n_turns,
+       |  string_agg(r, '' ORDER BY turn_idx) AS sample,
+       |  CAST(sum(CASE WHEN role = 'assistant' THEN length(r) ELSE 0 END) AS BIGINT)
+       |    AS trainable_chars,
+       |  CAST(sum(length(r)) AS BIGINT) AS total_chars
+       |FROM r GROUP BY conv_id ORDER BY conv_id""".stripMargin
+
   private def baseOracleSql: Map[String, String] = {
     // shared transcript derivation (must mirror Transcripts.fromDocuments)
     val derive =
@@ -709,25 +741,11 @@ object SparkEntry {
            |  CAST(count(*) AS BIGINT) AS n_turns
            |FROM j GROUP BY stratum ORDER BY stratum""".stripMargin,
 
-      "conv_render" ->
-        s"""WITH t AS (
-           |  SELECT
-           |    'conv-' || lpad(CAST(doc_id % ${Transcripts.Conversations} AS VARCHAR), 4, '0') AS conv_id,
-           |    CAST(doc_id // ${Transcripts.Conversations} AS INTEGER) AS turn_idx,
-           |    CASE WHEN doc_id % 3 = 0 THEN 'user'
-           |         WHEN doc_id % 3 = 1 THEN 'assistant' ELSE 'tool' END AS role,
-           |    text
-           |  FROM documents),
-           |r AS (
-           |  SELECT conv_id, turn_idx, role,
-           |    '<|' || role || '|>' || chr(10) || text || chr(10) AS r
-           |  FROM t)
-           |SELECT conv_id, count(*) AS n_turns,
-           |  string_agg(r, '' ORDER BY turn_idx) AS sample,
-           |  CAST(sum(CASE WHEN role = 'assistant' THEN length(r) ELSE 0 END) AS BIGINT)
-           |    AS trainable_chars,
-           |  CAST(sum(length(r)) AS BIGINT) AS total_chars
-           |FROM r GROUP BY conv_id ORDER BY conv_id""".stripMargin,
+      "conv_render" -> convRenderSql,
+
+      // the stateful stream converges to the batch render (last emission
+      // per conv) — ONE oracle serves both forms
+      "conv_render_stream" -> convRenderSql,
 
       "conv_spans" ->
         s"""WITH t AS (

@@ -102,4 +102,92 @@ object StreamPipeline {
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 minute"), col("role"))
       .agg(count(lit(1)).as("n_turns"))
+
+  final case class TurnLite(conv_id: String, turn_idx: Int, role: String, text: String)
+  final case class ConvState(turns: List[(Int, String, String)])
+  final case class RenderedConv(conv_id: String, n_turns: Long, sample: String,
+      trainable_chars: Long, total_chars: Long)
+
+  /** STREAMING chat-template rendering with custom state — conversations
+    * arrive turn by turn (the agent-pipeline reality: a conversation is
+    * open until its last turn lands) and `flatMapGroupsWithState`
+    * accumulates each conv's turns, re-emitting the conv's CURRENT
+    * rendered sample every batch that touches it (Update mode; the
+    * [[graft.operators.Events.sessionizeWithState]] custom-state path
+    * applied to [[graft.spark.Transcripts.convRender]]'s semantics —
+    * same template, same trainable accounting, spec-pinned equal to the
+    * batch render). Per-conv state is the turn list — bounded by the
+    * conv-cap curation upstream, the same bound the batch render's
+    * collect_list relies on. Readers keep the LAST emission per conv
+    * ([[runStreamingRender]] selects max batch_id), so any batch split
+    * converges to the batch result.
+    */
+  def renderWithState(spark: SparkSession,
+      stream: DataFrame): org.apache.spark.sql.Dataset[RenderedConv] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    stream
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("text"))
+      .as[TurnLite]
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState[ConvState, RenderedConv](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (cid: String, rows: Iterator[TurnLite], state: GroupState[ConvState]) =>
+          val st = state.getOption.getOrElse(ConvState(Nil))
+          val all = st.turns ++ rows.map(t => (t.turn_idx, t.role, t.text))
+          state.update(ConvState(all))
+          val rendered = all.sortBy(_._1)
+            .map { case (_, r, tx) => (r, s"<|$r|>\n$tx\n") }
+          val sample = rendered.map(_._2).mkString
+          val trainable = rendered.collect {
+            case ("assistant", rr) => rr.length.toLong
+          }.sum
+          Iterator(RenderedConv(cid, all.size.toLong, sample, trainable,
+            sample.length.toLong))
+      }
+  }
+
+  /** Driver runner for [[renderWithState]]: stages the raw turns as ONE
+    * file, drains an AvailableNow stream through the stateful render,
+    * writes each batch's emissions to a batchId-scoped directory
+    * (idempotent under checkpoint replay), and returns the LAST emission
+    * per conversation.
+    */
+  def runStreamingRender(spark: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      stagedIn: Option[String] = None): DataFrame = {
+    val base = graft.spark.TmpDirs.create("graft_srender_")
+    val out = s"$base/out"; val cp = s"$base/cp"
+    val in = stagedIn.getOrElse {
+      val p = s"$base/in"
+      graft.spark.Transcripts.rawTurns(spark, sfDir)
+        .coalesce(1).write.parquet(p)
+      p
+    }
+    val schema = StructType(Seq(
+      StructField("conv_id", StringType), StructField("turn_idx", IntegerType),
+      StructField("role", StringType), StructField("text", StringType)))
+    val reader = spark.readStream.schema(schema)
+    val q = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
+      .parquet(in)
+      .transform(s => renderWithState(spark, s).toDF())
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").parquet(s"$out/b$batchId")
+        ()
+      }
+      .outputMode("update")
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("conv_id").orderBy(col("batch_id").desc)
+    spark.read.option("recursiveFileLookup", "true").parquet(out)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "batch_id")
+  }
 }

@@ -1776,6 +1776,23 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"plan:\n$plan")
   }
 
+  test("conv: streaming stateful render carries conversation state across micro-batches") {
+    val t = Transcripts.rawTurns(spark, sfDir)
+    // two files split BY TURN RANGE, so every conversation straddles the
+    // batch boundary; maxFilesPerTrigger=1 forces one file per batch
+    val base = tmpDir("graft_srender2_")
+    t.repartitionByRange(2, col("turn_idx")).write.parquet(s"$base/in")
+    val streamed = graft.streaming.StreamPipeline
+      .runStreamingRender(spark, sfDir, maxFilesPerTrigger = Some(1),
+        stagedIn = Some(s"$base/in"))
+      .select("conv_id", "n_turns", "sample", "trainable_chars", "total_chars")
+    val batch = Transcripts.convRender(t)
+      .select("conv_id", "n_turns", "sample", "trainable_chars", "total_chars")
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0
+      && batch.exceptAll(streamed).count() == 0)
+  }
+
   test("conv: SFT pack keeps shard-local prefix sums coherent, offsets within budget") {
     val t = Transcripts.rawTurns(spark, sfDir)
     val out = Transcripts.convSftPack(t)
