@@ -1894,6 +1894,15 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hub.filter(col("kept")).count() < hub.count())
   }
 
+  test("registry: every query has an oracle twin and no oracle is orphaned") {
+    // an orphan oracle means a typo'd key (silent rows-only downgrade in
+    // the driver's gate); a query without a twin weakens its check
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((o -- q).isEmpty, s"orphan oracles: ${(o -- q).mkString(", ")}")
+    assert((q -- o).isEmpty, s"queries without oracle: ${(q -- o).mkString(", ")}")
+  }
+
   test("web_prep_e2e: per-host funnel is monotone and conserves the corpus") {
     val out = SparkEntry.queries("web_prep_e2e")(spark, sfDir)
     assert(out.count() > 0)
