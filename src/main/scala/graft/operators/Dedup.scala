@@ -1263,13 +1263,16 @@ object Dedup {
 
   /** The shared doc→blocks projection of [[spanDedup]] /
     * [[spanDedupIncremental]]: narrow posexplode into
-    * `(doc_id, pos, block, h)`.
+    * `(doc_id, pos, block, h)` via the native one-pass
+    * [[graft.spark.SpanBlocks]] kernel (the HOF
+    * `transform(sequence...slice)` form re-split the text inside every
+    * lambda element — interpreted, O(blocks × tokens) per doc; parity
+    * spec pins bit-identical output).
     */
   private def spanBlocks(doc: DataFrame): DataFrame =
-    doc.select(col("doc_id"), posexplode(expr(
-        s"""transform(sequence(0, CAST((size(split(text, ' ')) - 1) DIV $spanTokens AS INT)),
-           |  i -> array_join(slice(split(text, ' '), i * $spanTokens + 1, $spanTokens), ' '))"""
-          .stripMargin)).as(Seq("pos", "block")))
+    doc.select(col("doc_id"),
+        posexplode(graft.spark.HashFunctions.spanBlocks(col("text"), spanTokens))
+          .as(Seq("pos", "block")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("block"),
         md5(col("block")).as("h"))
 

@@ -132,7 +132,21 @@ object GraftExtensions {
     unaryFn("minhash16", classOf[MinHash16], MinHash16),
     unaryFn("rolling_hash", classOf[RollingHash], RollingHash),
     unaryFn("simhash16", classOf[SimHash16], SimHash16),
-    unaryFn("url_canonical", classOf[UrlCanonical], UrlCanonical))
+    unaryFn("url_canonical", classOf[UrlCanonical], UrlCanonical),
+    (
+      FunctionIdentifier("span_blocks"),
+      new ExpressionInfo(classOf[SpanBlocks].getName, "span_blocks"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "span_blocks(text, width) takes 2 arguments")
+        val w = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"span_blocks width must be an int literal, got $other")
+        }
+        SpanBlocks(children(0), w)
+      }
+    ))
 
   /** Imperative registration on an already-built session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -376,8 +376,73 @@ case class UrlCanonical(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Static kernel for [[SpanBlocks]]. */
+object SpanBlocksKernel {
+  /** Consecutive `width`-token blocks of `text` (single-space split with
+    * trailing empties kept — Java `split(" ", -1)` == Spark
+    * `split(text, ' ')`), last block partial. Bit-identical to the HOF
+    * form `transform(sequence(0, CAST((size(toks) - 1) DIV w AS INT)),
+    * i -> array_join(slice(toks, i*w + 1, w), ' '))` and to the DuckDB
+    * twin's `list_slice`/`array_to_string` — pinned by a parity spec.
+    * One pass; the HOF form re-evaluates `split(text, ' ')` inside every
+    * lambda element and walks the token array once per block.
+    */
+  def spanBlocks(text: org.apache.spark.unsafe.types.UTF8String,
+      width: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val n = toks.length
+    val nb = (n - 1) / width + 1
+    val out = new Array[Any](nb)
+    var i = 0
+    while (i < nb) {
+      val from = i * width
+      val until = math.min(n, from + width)
+      val sb = new java.lang.StringBuilder()
+      var j = from
+      while (j < until) {
+        if (j > from) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native codegen'd span blocking (see [[SpanBlocksKernel.spanBlocks]]) —
+  * the hot loop of the span-dedup family ([[graft.operators.Dedup.spanDedup]]
+  * and its ingest/streaming forms explode every document through it).
+  * Same "(b) custom Catalyst Expression" tier as [[Shingles3]].
+  */
+case class SpanBlocks(child: Expression, width: Int) extends UnaryExpression {
+  require(width > 0, s"span_blocks width must be positive, got $width")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"span_blocks expects string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(t: Any): Any =
+    SpanBlocksKernel.spanBlocks(
+      t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], width)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.SpanBlocksKernel.spanBlocks($c, $width)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** DataFrame-DSL access. */
 object HashFunctions {
+  def spanBlocks(text: Column, width: Int): Column =
+    GraftColumnBridge.column(SpanBlocks(GraftColumnBridge.expression(text), width))
+
   def urlCanonical(url: Column): Column =
     GraftColumnBridge.column(UrlCanonical(GraftColumnBridge.expression(url)))
 

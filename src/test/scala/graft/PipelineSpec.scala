@@ -1995,6 +1995,23 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       && batch.exceptAll(multi).count() == 0)
   }
 
+  test("span_blocks: native blocking is identical to the HOF slice form") {
+    val hof = expr(
+      s"""transform(sequence(0, CAST((size(split(text, ' ')) - 1) DIV 10 AS INT)),
+         |  i -> array_join(slice(split(text, ' '), i * 10 + 1, 10), ' '))""".stripMargin)
+    val diff = Transcripts.documents(spark, sfDir)
+      .select(graft.spark.HashFunctions.spanBlocks(col("text"), 10).as("native"),
+        hof.as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(diff.count() == 0)
+    // partial last block + single-token text via the SQL surface
+    graft.spark.GraftExtensions.register(spark)
+    assert(spark.sql("SELECT span_blocks('a b c', 2) AS b")
+      .head.getSeq[String](0) == Seq("a b", "c"))
+    assert(spark.sql("SELECT span_blocks('a', 2) AS b")
+      .head.getSeq[String](0) == Seq("a"))
+  }
+
   test("dedup: span rewrite drops the borrowed paragraph, keeps the borrower's own prose") {
     import graft.operators.Dedup
     val d = Transcripts.documents(spark, sfDir).select(col("doc_id"), col("text"))
