@@ -238,6 +238,12 @@ object Plans {
             .join(d.select(col("doc_id"), col("text")), Seq("doc_id"))
           fmt(Dedup.spanDedup(capped.select(col("doc_id"), col("text"))))
         }),
+      ("Winnowed ingest dedup (incoming vs fingerprint artifact, dedup_window_incremental)",
+        "narrow winnowed-fingerprint map on the incoming batch -> ONE left-semi equi-join against the checkpointed artifact -> anti-join back; the winnowing guarantee (>= W+S-1-token runs caught at ANY alignment) carries into the ingest form",
+        {
+          val base = doc.select(col("doc_id"), col("text"))
+          fmt(Dedup.windowDedupIncremental(Dedup.windowArtifacts(base), base))
+        }),
       ("Two-epoch incremental ingest (artifact append, dedup_incremental_epoch)",
         "epoch-1 survivors' hashAndBands rows UNION onto the artifact table (one narrow pass over the BATCH — the existing corpus is never rescanned); epoch 2 runs the same equi-joins against the merged artifacts, catching cross-epoch duplicates",
         {

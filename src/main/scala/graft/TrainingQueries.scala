@@ -525,6 +525,26 @@ object TrainingQueries {
         .orderBy("host")
     }),
 
+    // ingest-time WINNOWED dedup (fifth incremental member): incoming
+    // docs sharing ANY selected window fingerprint with the corpus drop
+    // — alignment-independent verbatim-run detection at the door;
+    // injected borrowers quote an 11-token run from an existing doc
+    "dedup_window_incremental" -> ((s, dir) => {
+      val run = Dedup.windowTokens + Dedup.windowStride - 1
+      val base = Transcripts.documents(s, dir).select(col("doc_id"), col("text"))
+      val existing = base.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val incoming = base.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .unionAll(existing.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select((col("doc_id") + 7000000L).as("doc_id"),
+            concat(
+              array_join(slice(split(col("text"), " "), 1, run), " "),
+              lit(" entirely original commentary follows the quotation "),
+              (col("doc_id") + 7000000L).cast("string")).as("text")))
+      Dedup.windowDedupIncremental(Dedup.windowArtifacts(existing), incoming)
+        .select(col("doc_id"), length(col("text")).cast("int").as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // ingest-time SPAN dedup (fourth incremental member): incoming docs
     // drop the blocks the existing corpus already holds and reassemble;
     // injected borrowers quote an existing doc's lede + novel tail
@@ -1333,6 +1353,44 @@ object TrainingQueries {
          |  coalesce(string_agg(CASE WHEN kept THEN block END, ' ' ORDER BY pos), '')
          |    AS text_dedup
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    "dedup_window_incremental" -> {
+      import graft.operators.Dedup.{windowTokens, windowStride}
+      val run = windowTokens + windowStride - 1
+      def winnow(p: String, src: String) =
+        s"""${p}t AS (
+           |  SELECT doc_id, string_split(text, ' ') AS toks FROM $src
+           |  WHERE len(string_split(text, ' ')) >= $windowTokens),
+           |${p}wa AS (
+           |  SELECT doc_id,
+           |    list_transform(range(0, len(toks) - $windowTokens + 1),
+           |      i -> md5(array_to_string(toks[i + 1 : i + $windowTokens], ' '))) AS wfps
+           |  FROM ${p}t),
+           |${p}w AS (
+           |  SELECT DISTINCT doc_id,
+           |    unnest(list_transform(range(1, greatest(len(wfps) - ${windowStride - 1}, 1) + 1),
+           |      i -> list_sort(wfps[i : i + ${windowStride - 1}])[1])) AS wfp
+           |  FROM ${p}wa)""".stripMargin
+      s"""WITH existing AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+         |incoming AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 7000000,
+         |    array_to_string(list_slice(string_split(text, ' '), 1, $run), ' ')
+         |      || ' entirely original commentary follows the quotation '
+         |      || CAST(doc_id + 7000000 AS VARCHAR)
+         |  FROM existing WHERE doc_id % 5 = 0),
+         |${winnow("e", "existing")},
+         |${winnow("i", "incoming")},
+         |hits AS (
+         |  SELECT DISTINCT i.doc_id FROM iw i
+         |  JOIN (SELECT DISTINCT wfp FROM ew) e USING (wfp))
+         |SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars
+         |FROM incoming
+         |WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+         |ORDER BY doc_id""".stripMargin
     },
 
     "dedup_span_incremental" -> {

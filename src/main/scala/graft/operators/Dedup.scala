@@ -257,7 +257,15 @@ object Dedup {
     * short-but-shingleable docs participate.
     */
   def windowFingerprints(doc: DataFrame): DataFrame =
-    withInjectedDups(doc)
+    winnowedFps(withInjectedDups(doc))
+
+  /** The winnowed fingerprint rows `(doc_id, wfp)` of `doc` — the
+    * selection core of [[windowFingerprints]] without the dup-injection
+    * harness, shared with the ingest form ([[windowArtifacts]] /
+    * [[windowDedupIncremental]]).
+    */
+  private def winnowedFps(doc: DataFrame): DataFrame =
+    doc
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= windowTokens)
       .select(col("doc_id"), expr(
@@ -269,6 +277,32 @@ object Dedup {
            |  sequence(1, greatest(size(wfps) - ${windowStride - 1}, 1)),
            |  i -> array_min(slice(wfps, i, $windowStride))))""".stripMargin))
         .as("wfp"))
+
+  /** Winnowed-fingerprint ARTIFACT of the existing corpus — its distinct
+    * selected fingerprints, eagerly materialized (the per-epoch catalog
+    * table, like the content-hash/band/cell/block artifacts).
+    */
+  def windowArtifacts(existing: DataFrame): DataFrame =
+    winnowedFps(existing).select(col("wfp")).distinct().localCheckpoint(true)
+
+  /** Ingest-time WINNOWED dedup — the fifth member of the incremental
+    * family (hash, bands, cells, blocks, now winnowed fingerprints):
+    * drop every INCOMING document sharing ANY selected fingerprint with
+    * the existing corpus. The winnowing guarantee carries over: a
+    * verbatim run of >= [[windowTokens]] + [[windowStride]] - 1 tokens
+    * shared with ANY corpus document is caught REGARDLESS of its
+    * alignment in either text — the detector [[spanDedupIncremental]]'s
+    * fixed blocks cannot be (blocks only match aligned copies). Plan:
+    * narrow fingerprint map on the incoming batch, one left-semi
+    * equi-join against the artifact, one anti-join back; docs too short
+    * to fingerprint survive by construction.
+    */
+  def windowDedupIncremental(artifact: DataFrame, incoming: DataFrame): DataFrame = {
+    val hits = winnowedFps(incoming)
+      .join(artifact, Seq("wfp"), "left_semi")
+      .select("doc_id").distinct()
+    incoming.join(hits, Seq("doc_id"), "left_anti")
+  }
 
   /** Candidate near-exact-dup pairs: docs sharing any window fingerprint.
     * ONE shuffle (groupBy wfp), streamed in-bucket pairs, capped +

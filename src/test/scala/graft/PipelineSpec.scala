@@ -1941,6 +1941,35 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.queryExecution.executedPlan.toString.contains("ExistingRDD"))
   }
 
+  test("dedup: winnowed ingest catches mid-text verbatim runs regardless of alignment") {
+    import graft.operators.Dedup
+    val base = Transcripts.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val existing = base.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val art = Dedup.windowArtifacts(existing)
+    // re-ingesting the corpus drops everything
+    assert(Dedup.windowDedupIncremental(art, existing).count() == 0)
+    // MISALIGNED borrowers: lead-in words, then an 11-token run quoted
+    // from position 5 of an existing doc — no fixed-block alignment
+    // holds, the winnowing guarantee still catches every one
+    val run = Dedup.windowTokens + Dedup.windowStride - 1
+    val borrow = existing
+      .filter(pmod(col("doc_id"), lit(5)) === 0
+        && size(split(col("text"), " ")) >= run + 5)
+      .select((col("doc_id") + 7000000L).as("doc_id"),
+        concat(lit("fresh lead in "),
+          array_join(slice(split(col("text"), " "), 5, run), " "),
+          lit(" and a tail "),
+          (col("doc_id") + 7000000L).cast("string")).as("text"))
+    assert(borrow.count() > 0)
+    assert(Dedup.windowDedupIncremental(art, borrow).count() == 0)
+    // genuinely novel docs survive untouched
+    val novel = existing.limit(5)
+      .select((col("doc_id") + 8000000L).as("doc_id"),
+        expr("array_join(transform(sequence(1, 20), i -> concat('nvl', i, 'x', doc_id)), ' ')")
+          .as("text"))
+    assert(Dedup.windowDedupIncremental(art, novel).count() == 5)
+  }
+
   test("dedup: epoch artifact update absorbs survivors and equals a from-scratch rebuild") {
     import graft.operators.Dedup
     val base = Transcripts.documents(spark, sfDir).select(col("doc_id"), col("text"))
