@@ -248,13 +248,13 @@ object Dedup {
   val windowMaxBucket = 10000
 
   /** (doc_id, wfp) winnowed window fingerprints over the dup-injected
-    * corpus. The token array is materialized ONCE per row as a column
-    * (`toks`) and the windows slice it — referencing `split(text)` inside
-    * the lambda would re-evaluate the split per window (the O(n²) HOF
-    * trap); likewise the all-windows fingerprint array (`wfps`) is a
-    * column the winnow lambda slices. Documents with fewer than S windows
-    * still select their minimum fingerprint (the greatest(...) floor), so
-    * short-but-shingleable docs participate.
+    * corpus — the native one-pass [[graft.spark.WinnowKernel.winnowFps]]
+    * kernel (fingerprint + winnow + distinct fused; bit-identical to the
+    * HOF slice chain, pinned by a parity spec). Documents with fewer than
+    * S windows still select their minimum fingerprint (the max(nw-S+1, 1)
+    * position floor), so short-but-shingleable docs participate; docs
+    * shorter than W tokens yield an empty array, which the explode drops
+    * exactly like the previous `size(toks) >= W` filter.
     */
   def windowFingerprints(doc: DataFrame): DataFrame =
     winnowedFps(withInjectedDups(doc))
@@ -265,18 +265,9 @@ object Dedup {
     * [[windowDedupIncremental]]).
     */
   private def winnowedFps(doc: DataFrame): DataFrame =
-    doc
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= windowTokens)
-      .select(col("doc_id"), expr(
-        s"""transform(sequence(0, size(toks) - $windowTokens),
-           |  i -> md5(concat_ws(' ', slice(toks, i + 1, $windowTokens))))""".stripMargin)
-        .as("wfps"))
-      .select(col("doc_id"), explode(expr(
-        s"""array_distinct(transform(
-           |  sequence(1, greatest(size(wfps) - ${windowStride - 1}, 1)),
-           |  i -> array_min(slice(wfps, i, $windowStride))))""".stripMargin))
-        .as("wfp"))
+    doc.select(col("doc_id"),
+      explode(graft.spark.HashFunctions.winnowFps(
+        col("text"), windowTokens, windowStride)).as("wfp"))
 
   /** Winnowed-fingerprint ARTIFACT of the existing corpus — its distinct
     * selected fingerprints, eagerly materialized (the per-epoch catalog

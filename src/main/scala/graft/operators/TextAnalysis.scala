@@ -65,9 +65,21 @@ object TextAnalysis {
   }
 
   /** Winner-take-first language prediction (ties to [[langStopwords]]
-    * order; all-zero -> "und") as a reusable Column over `text`.
+    * order; all-zero -> "und") as a reusable Column over `text` — routed
+    * through the native one-pass [[graft.spark.LangKernel.langPredict]]
+    * kernel: the HOF form ([[langPredictedHof]], kept for the parity spec)
+    * is built from interpreted `filter(split(...))` lambdas that Catalyst
+    * CANNOT subexpression-eliminate (HOFs are CSE-excluded), so every
+    * when-branch and every downstream when-chain referencing the alias
+    * re-walked the token array — up to ~150 interpreted traversals per row
+    * in [[Sampling.upweight]]-shaped consumers.
     */
-  def langPredicted: Column = {
+  def langPredicted: Column = graft.spark.HashFunctions.langPredict(col("text"))
+
+  /** The interpreted when-chain twin of [[langPredicted]] — kept for the
+    * parity spec that pins the native kernel to the SQL-expressible form.
+    */
+  def langPredictedHof: Column = {
     val Seq(en, de, es, fr) = langScores.map(_._2)
     when(en === 0 && de === 0 && es === 0 && fr === 0, "und")
       .when(en >= de && en >= es && en >= fr, "en")

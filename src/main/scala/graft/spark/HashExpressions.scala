@@ -438,8 +438,258 @@ case class SpanBlocks(child: Expression, width: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Static kernel for [[LangPredict]] / [[LangScores4]]. */
+object LangKernel {
+
+  /** word -> bitmask of language indexes (en=1, de=2, es=4, fr=8), built
+    * from [[graft.operators.TextAnalysis.langStopwords]] so the kernel can
+    * never drift from the declared lists (a spec additionally pins the
+    * native outputs to the HOF forms).
+    */
+  private lazy val table: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    graft.operators.TextAnalysis.langStopwords.zipWithIndex.foreach {
+      case ((_, words), i) =>
+        words.foreach { w =>
+          val prev = m.get(w)
+          m.put(w, Integer.valueOf((if (prev == null) 0 else prev.intValue()) | (1 << i)))
+        }
+    }
+    m
+  }
+
+  private val langNames: Array[org.apache.spark.unsafe.types.UTF8String] =
+    Array("und", "en", "de", "es", "fr")
+      .map(org.apache.spark.unsafe.types.UTF8String.fromString)
+
+  /** The four per-language stopword-hit counts in ONE pass over the tokens
+    * (single-space split, trailing empties kept — Java `split(" ", -1)` ==
+    * Spark `split(text, ' ')`). Bit-identical to the four HOF columns
+    * `size(filter(split(text, ' '), x -> x IN (...)))` of
+    * [[graft.operators.TextAnalysis.langScores]], which are interpreted
+    * lambdas Catalyst cannot subexpression-eliminate (HOFs are excluded
+    * from CSE), so every reference re-walked the token array.
+    */
+  def scores4(text: org.apache.spark.unsafe.types.UTF8String): Array[Int] = {
+    val toks = text.toString.split(" ", -1)
+    val counts = new Array[Int](4)
+    val t = table
+    var i = 0
+    while (i < toks.length) {
+      val mask = t.get(toks(i))
+      if (mask != null) {
+        val m = mask.intValue()
+        var b = 0
+        while (b < 4) {
+          counts(b) += (m >> b) & 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    counts
+  }
+
+  def langScores4(text: org.apache.spark.unsafe.types.UTF8String): ArrayData =
+    new GenericArrayData(scores4(text).map(Integer.valueOf(_): Any))
+
+  /** Winner-take-first language prediction — the exact
+    * [[graft.operators.TextAnalysis.langPredicted]] when-chain (ties to
+    * list order; all-zero -> "und") evaluated once per row instead of
+    * re-deriving each stopword count per branch.
+    */
+  def langPredict(text: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val c = scores4(text)
+    val (en, de, es, fr) = (c(0), c(1), c(2), c(3))
+    if (en == 0 && de == 0 && es == 0 && fr == 0) langNames(0)
+    else if (en >= de && en >= es && en >= fr) langNames(1)
+    else if (de >= es && de >= fr) langNames(2)
+    else if (es >= fr) langNames(3)
+    else langNames(4)
+  }
+}
+
+/** Native codegen'd language prediction (see [[LangKernel.langPredict]]) —
+  * the mixture-key expression every sampler keys on
+  * ([[graft.operators.Sampling]] stratified/upweight/temperature/exact-N/
+  * split/budget). The HOF form evaluated up to ~12 interpreted
+  * filter-over-split traversals per reference, and downstream when-chains
+  * referencing the alias multiplied the references.
+  */
+case class LangPredict(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"lang_predict expects string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(t: Any): Any =
+    LangKernel.langPredict(t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.LangKernel.langPredict($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native codegen'd per-language stopword scores (see
+  * [[LangKernel.langScores4]]): array(c_en, c_de, c_es, c_fr) in one token
+  * pass — the langId projection's four HOF columns collapsed to one kernel
+  * call (CSE-eligible, unlike the lambdas).
+  */
+case class LangScores4(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"lang_scores4 expects string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override protected def nullSafeEval(t: Any): Any =
+    LangKernel.langScores4(t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.LangKernel.langScores4($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Static kernel for [[WinnowFps]]. */
+object WinnowKernel {
+
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private def hex(d: Array[Byte]): String = {
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexDigits((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** The DISTINCT winnowed window fingerprints of `text` in one pass
+    * (Schleimer et al. 2003 selection over md5 window fingerprints):
+    * every `w`-token window (single-space split, trailing empties kept) is
+    * md5-fingerprinted, and each of the max(nw - s + 1, 1) stride
+    * positions selects the MINIMUM fingerprint of its `s` consecutive
+    * windows; distinct keeps first-occurrence order. Bit-identical to the
+    * HOF chain in [[graft.operators.Dedup]] (`transform(sequence...,
+    * md5(concat_ws(' ', slice(toks, ...))))` then
+    * `array_distinct(transform(..., array_min(slice(wfps, i, s))))`) and
+    * to the DuckDB twin — pinned by a parity spec. Digest comparison is
+    * unsigned byte-wise, which equals the lexicographic order of the
+    * lowercase-hex strings the HOF form compares (hex encoding is
+    * order-preserving); only selected minima are hex-encoded. Texts with
+    * fewer than `w` tokens return an empty array (the caller's explode
+    * drops them — same row set as the previous `size(toks) >= w` filter).
+    */
+  def winnowFps(text: org.apache.spark.unsafe.types.UTF8String,
+      w: Int, s: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val n = toks.length
+    if (n < w) return new GenericArrayData(Array.empty[Any])
+    val nw = n - w + 1
+    val tokBytes = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      tokBytes(i) = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      i += 1
+    }
+    val digestFn = md5.get()
+    val digests = new Array[Array[Byte]](nw)
+    i = 0
+    while (i < nw) {
+      digestFn.reset()
+      var j = 0
+      while (j < w) {
+        if (j > 0) digestFn.update(' '.toByte)
+        digestFn.update(tokBytes(i + j))
+        j += 1
+      }
+      digests(i) = digestFn.digest()
+      i += 1
+    }
+    val positions = math.max(nw - s + 1, 1)
+    val seen = new java.util.LinkedHashSet[String]()
+    var k = 0
+    while (k < positions) {
+      var best = digests(k)
+      val end = math.min(k + s, nw)
+      var j = k + 1
+      while (j < end) {
+        if (java.util.Arrays.compareUnsigned(digests(j), best) < 0) best = digests(j)
+        j += 1
+      }
+      seen.add(hex(best))
+      k += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) {
+      out(o) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+      o += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native codegen'd winnowed window fingerprinting (see
+  * [[WinnowKernel.winnowFps]]) — the hot loop of the winnowed-fingerprint
+  * dedup family ([[graft.operators.Dedup.windowDupPairs]] and the
+  * artifact/ingest forms). The HOF form paid one interpreted md5 + two
+  * array slices per window position per document.
+  */
+case class WinnowFps(child: Expression, w: Int, s: Int) extends UnaryExpression {
+  require(w > 0 && s > 0, s"winnow_fps needs positive window/stride, got $w/$s")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow_fps expects string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(t: Any): Any =
+    WinnowKernel.winnowFps(
+      t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], w, s)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.WinnowKernel.winnowFps($c, $w, $s)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** DataFrame-DSL access. */
 object HashFunctions {
+  def langPredict(text: Column): Column =
+    GraftColumnBridge.column(LangPredict(GraftColumnBridge.expression(text)))
+
+  def langScores4(text: Column): Column =
+    GraftColumnBridge.column(LangScores4(GraftColumnBridge.expression(text)))
+
+  def winnowFps(text: Column, w: Int, s: Int): Column =
+    GraftColumnBridge.column(WinnowFps(GraftColumnBridge.expression(text), w, s))
+
   def spanBlocks(text: Column, width: Int): Column =
     GraftColumnBridge.column(SpanBlocks(GraftColumnBridge.expression(text), width))
 

@@ -2041,6 +2041,59 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head.getSeq[String](0) == Seq("a"))
   }
 
+  test("lang kernels: native scores/prediction identical to the HOF forms") {
+    import graft.operators.TextAnalysis
+    val scoreCols = TextAnalysis.langScores.map { case (l, c) => c.as(s"hof_$l") }
+    val d = Transcripts.documents(spark, sfDir)
+      .select((Seq(
+        graft.spark.HashFunctions.langScores4(col("text")).as("sc"),
+        TextAnalysis.langPredicted.as("native_pred"),
+        TextAnalysis.langPredictedHof.as("hof_pred")) ++ scoreCols): _*)
+    val diff = d.filter(
+      element_at(col("sc"), 1) =!= col("hof_en")
+        || element_at(col("sc"), 2) =!= col("hof_de")
+        || element_at(col("sc"), 3) =!= col("hof_es")
+        || element_at(col("sc"), 4) =!= col("hof_fr")
+        || col("native_pred") =!= col("hof_pred"))
+    assert(diff.count() == 0)
+    // degenerate inputs: empty text (one empty token), stopword-only text
+    import spark.implicits._
+    val edge = Seq("", "the", "der und ist", "le les y es the").toDF("text")
+      .select(TextAnalysis.langPredicted.as("p")).collect().map(_.getString(0))
+    assert(edge.toSeq == Seq("und", "en", "de", "es"))
+  }
+
+  test("winnow_fps: native winnowing identical to the HOF slice chain") {
+    import graft.operators.Dedup
+    val w = Dedup.windowTokens
+    val s = Dedup.windowStride
+    val hof = Transcripts.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= w)
+      .select(col("doc_id"), expr(
+        s"""transform(sequence(0, size(toks) - $w),
+           |  i -> md5(concat_ws(' ', slice(toks, i + 1, $w))))""".stripMargin)
+        .as("wfps"))
+      .select(col("doc_id"), expr(
+        s"""array_distinct(transform(
+           |  sequence(1, greatest(size(wfps) - ${s - 1}, 1)),
+           |  i -> array_min(slice(wfps, i, $s))))""".stripMargin).as("hof"))
+    val native = Transcripts.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.spark.HashFunctions.winnowFps(col("text"), w, s).as("native"))
+    // element order matters (first-occurrence distinct) — compare arrays
+    val joined = native.join(hof, Seq("doc_id"), "left")
+    assert(joined.filter(col("hof").isNull && size(col("native")) =!= 0).count() == 0)
+    assert(joined.filter(col("hof").isNotNull && col("native") =!= col("hof")).count() == 0)
+    // short docs (< W tokens) yield an empty array; < W+S-1 tokens still
+    // select exactly one (their minimum) fingerprint
+    import spark.implicits._
+    val short = Seq("a b c", ("a " * (w + 1)).trim).toDF("text")
+      .select(size(graft.spark.HashFunctions.winnowFps(col("text"), w, s)).as("n"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(short == Seq(0, 1))
+  }
+
   test("dedup: span rewrite drops the borrowed paragraph, keeps the borrower's own prose") {
     import graft.operators.Dedup
     val d = Transcripts.documents(spark, sfDir).select(col("doc_id"), col("text"))
