@@ -37,7 +37,8 @@ object TextAnalysis {
   def quality(doc: DataFrame): DataFrame = {
     val t = tokens(col("text"))
     val n = size(t).cast("double")
-    val stop = size(expr("filter(split(text, ' '), x -> x IN ('the', 'a'))")).cast("double")
+    val stop = graft.spark.HashFunctions.tokenSetCount(col("text"), Seq("the", "a"))
+      .cast("double")
     val uniq = size(array_distinct(t)).cast("double")
     val meanLen = (length(col("text")).cast("double") - (n - lit(1.0))) / n
     doc.select(
@@ -323,7 +324,13 @@ object TextAnalysis {
   /** Blocked-term occurrence count over `text` — shared by [[blocklist]]
     * and [[qualityFunnel]].
     */
-  private def blockedTermCount: Column = {
+  private def blockedTermCount: Column =
+    graft.spark.HashFunctions.tokenSetCount(col("text"), blockedTerms)
+
+  /** The interpreted HOF twin of [[blockedTermCount]] — kept for the
+    * parity spec pinning the native kernel to the SQL-expressible form.
+    */
+  private[graft] def blockedTermCountHof: Column = {
     val inList = blockedTerms.map(t => s"'$t'").mkString(", ")
     size(expr(s"filter(split(text, ' '), t -> t IN ($inList))"))
   }
@@ -369,7 +376,14 @@ object TextAnalysis {
   /** The classifier's score expression over the `text` column — shared by
     * [[classifierScore]] and [[qualityFunnel]].
     */
-  private def classifierScoreExpr: Column = {
+  private def classifierScoreExpr: Column =
+    graft.spark.HashFunctions.classifierScore(col("text"),
+      (0 until classifierBuckets).map(classifierWeight(_).toLong))
+
+  /** The interpreted aggregate-HOF twin of [[classifierScoreExpr]] — kept
+    * for the parity spec pinning the native kernel to the SQL form.
+    */
+  private[graft] def classifierScoreExprHof: Column = {
     val wArr = (0 until classifierBuckets).map(classifierWeight)
       .mkString("array(", ", ", ")")
     expr(
@@ -454,14 +468,8 @@ object TextAnalysis {
   def classifierScoreTrained(
       doc: DataFrame, weights: Array[(Int, Long, Long, Long)]): DataFrame = {
     val byBucket = weights.map(t => t._1 -> t._4).toMap
-    val wArr = (0 until classifierBuckets)
-      .map(b => s"CAST(${byBucket.getOrElse(b, 0L)} AS BIGINT)")
-      .mkString("array(", ", ", ")")
-    val score = expr(
-      s"""aggregate(split(text, ' '), CAST(0 AS BIGINT), (acc, t) ->
-         |  acc + element_at($wArr,
-         |    CAST(pmod(CAST(conv(substring(md5(t), 1, 4), 16, 10) AS INT),
-         |              $classifierBuckets) AS INT) + 1))""".stripMargin)
+    val score = graft.spark.HashFunctions.classifierScore(col("text"),
+      (0 until classifierBuckets).map(b => byBucket.getOrElse(b, 0L)))
     doc.select(col("doc_id"),
       size(split(col("text"), " ")).cast("int").as("n_tokens"),
       score.cast("long").as("score"))
@@ -489,11 +497,7 @@ object TextAnalysis {
   def bpePairStats(doc: DataFrame, topK: Int = bpeTopK): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("n").desc, col("pair").asc)
-    doc.select(explode(tokens(col("text"))).as("w"))
-      .filter(length(col("w")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
-        .as("pair"))
+    doc.select(explode(graft.spark.HashFunctions.textCharPairs(col("text"))).as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("n"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
@@ -532,11 +536,7 @@ object TextAnalysis {
     var txt: Column = col("text")
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     for (r <- 1 to rounds) {
-      val top = doc.select(explode(tokens(txt)).as("w"))
-        .filter(length(col("w")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
-          .as("pair"))
+      val top = doc.select(explode(graft.spark.HashFunctions.textCharPairs(txt)).as("pair"))
         .groupBy("pair").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pair").asc)
         .limit(1).collect()(0)

@@ -679,8 +679,204 @@ case class WinnowFps(child: Expression, w: Int, s: Int) extends UnaryExpression 
     copy(child = newChild)
 }
 
+/** Static kernel for [[TokenSetCount]]. */
+object TokenSetCountKernel {
+  /** Count of single-space tokens (trailing empties kept) contained in
+    * `words` — bit-identical to the HOF form
+    * `size(filter(split(text, ' '), t -> t IN (...)))`, pinned by a parity
+    * spec. One pass; beyond per-row eval cost, removing the lambda also
+    * removes a disproportionate Catalyst planning/codegen cost the HOF
+    * form paid on every fresh plan.
+    */
+  def count(text: org.apache.spark.unsafe.types.UTF8String,
+      words: java.util.HashSet[String]): Int = {
+    val toks = text.toString.split(" ", -1)
+    var c = 0
+    var i = 0
+    while (i < toks.length) {
+      if (words.contains(toks(i))) c += 1
+      i += 1
+    }
+    c
+  }
+}
+
+/** Native codegen'd token-membership count (see
+  * [[TokenSetCountKernel.count]]) — the blocklist / stopword counting
+  * primitive ([[graft.operators.TextAnalysis.blocklist]], `quality`,
+  * `qualityFunnel`, classifier training labels).
+  */
+case class TokenSetCount(child: Expression, words: Seq[String]) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"token_set_count expects string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  @transient private lazy val set: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    words.foreach(s.add)
+    s
+  }
+
+  override protected def nullSafeEval(t: Any): Any =
+    TokenSetCountKernel.count(
+      t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], set)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("words", set, "java.util.HashSet<String>")
+    defineCodeGen(ctx, ev, c => s"graft.spark.TokenSetCountKernel.count($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Static kernel for [[ClassifierScore]]. */
+object ClassifierScoreKernel {
+
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Hashed-feature linear score: sum over single-space tokens of
+    * `weights[h(t) mod B]` where h(t) = the first 16 bits of md5(t)
+    * big-endian (== `CAST(conv(substring(md5(t), 1, 4), 16, 10) AS INT)`,
+    * the simhash convention) and B = weights.length. Bit-identical to the
+    * interpreted `aggregate(split(text, ' '), ..., (acc, t) -> acc +
+    * element_at(wArr, pmod(...) + 1))` chain of
+    * [[graft.operators.TextAnalysis.classifierScore]] for both the
+    * int-accumulator (untrained) and bigint-accumulator (trained) forms:
+    * intermediate sums cannot wrap either accumulator (|w| <= 8 untrained;
+    * trained cross-difference weights bound |acc| well under 2^63), so the
+    * long accumulation here matches both — pinned by a parity spec.
+    */
+  def score(text: org.apache.spark.unsafe.types.UTF8String,
+      weights: Array[Long]): Long = {
+    val toks = text.toString.split(" ", -1)
+    val b = weights.length
+    val digestFn = md5.get()
+    var acc = 0L
+    var i = 0
+    while (i < toks.length) {
+      digestFn.reset()
+      val d = digestFn.digest(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val h = ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+      acc += weights(h % b)
+      i += 1
+    }
+    acc
+  }
+}
+
+/** Native codegen'd hashed-feature classifier score (see
+  * [[ClassifierScoreKernel.score]]): the fastText/CCNet-style quality
+  * scorer as one kernel call per row — weights (untrained constant table
+  * or trained cross-difference longs) ride the plan as a reference object,
+  * exactly as the HOF form carried them as an array literal.
+  */
+case class ClassifierScore(child: Expression, weights: Seq[Long]) extends UnaryExpression {
+  require(weights.nonEmpty, "classifier_score needs a non-empty weight table")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"classifier_score expects string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  @transient private lazy val wArr: Array[Long] = weights.toArray
+
+  override protected def nullSafeEval(t: Any): Any =
+    ClassifierScoreKernel.score(
+      t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], wArr)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("weights", wArr, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.spark.ClassifierScoreKernel.score($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Static kernel for [[TextCharPairs]]. */
+object CharPairsKernel {
+  /** All adjacent two-code-point pairs of every single-space token with at
+    * least two code points, token order then within-token order — the
+    * multiset `explode(tokens) -> filter(length >= 2) ->
+    * explode(transform(sequence(1, length(w) - 1), i -> substring(w, i,
+    * 2)))` produces (order irrelevant downstream: the consumer is a
+    * groupBy count). Code-point stepping matches Spark's `substring` /
+    * `length` semantics (both count code points); pinned by a parity spec.
+    * The HOF form paid one interpreted lambda + substring per pair plus
+    * two Generate operators.
+    */
+  def pairs(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val out = new java.util.ArrayList[Any]()
+    var i = 0
+    while (i < toks.length) {
+      val w = toks(i)
+      if (w.length >= 2) {
+        // code-point boundaries (PUA merge symbols are BMP, ASCII is BMP —
+        // but step by code points for full parity with Spark's substring)
+        val cps = w.codePoints().toArray
+        var j = 0
+        while (j < cps.length - 1) {
+          out.add(org.apache.spark.unsafe.types.UTF8String.fromString(
+            new String(cps, j, 2)))
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** Native codegen'd adjacent-character-pair extraction (see
+  * [[CharPairsKernel.pairs]]) — the per-round hot loop of BPE training
+  * ([[graft.operators.TextAnalysis.bpePairStats]] / `trainBpeMerges`):
+  * one Generate over one kernel array instead of two chained Generates
+  * over an interpreted transform.
+  */
+case class TextCharPairs(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"text_char_pairs expects string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(t: Any): Any =
+    CharPairsKernel.pairs(t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.CharPairsKernel.pairs($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** DataFrame-DSL access. */
 object HashFunctions {
+  def tokenSetCount(text: Column, words: Seq[String]): Column =
+    GraftColumnBridge.column(TokenSetCount(GraftColumnBridge.expression(text), words))
+
+  def classifierScore(text: Column, weights: Seq[Long]): Column =
+    GraftColumnBridge.column(ClassifierScore(GraftColumnBridge.expression(text), weights))
+
+  def textCharPairs(text: Column): Column =
+    GraftColumnBridge.column(TextCharPairs(GraftColumnBridge.expression(text)))
+
   def langPredict(text: Column): Column =
     GraftColumnBridge.column(LangPredict(GraftColumnBridge.expression(text)))
 

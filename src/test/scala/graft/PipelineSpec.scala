@@ -2094,6 +2094,43 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(short == Seq(0, 1))
   }
 
+  test("token_set_count / classifier_score / text_char_pairs: native == HOF forms") {
+    import graft.operators.TextAnalysis
+    val d = Transcripts.documents(spark, sfDir)
+    // token_set_count vs filter-IN
+    val tsc = d.select(
+      graft.spark.HashFunctions.tokenSetCount(col("text"), TextAnalysis.blockedTerms)
+        .as("native"),
+      TextAnalysis.blockedTermCountHof.as("hof"))
+    assert(tsc.filter(col("native") =!= col("hof")).count() == 0)
+    // classifier_score (untrained weight table) vs the aggregate-HOF chain
+    val cs = d.select(
+      graft.spark.HashFunctions.classifierScore(col("text"),
+        (0 until TextAnalysis.classifierBuckets).map(TextAnalysis.classifierWeight(_).toLong))
+        .cast("int").as("native"),
+      TextAnalysis.classifierScoreExprHof.cast("int").as("hof"))
+    assert(cs.filter(col("native") =!= col("hof")).count() == 0)
+    // text_char_pairs vs the two-generate HOF multiset (count per pair)
+    val hofPairs = d.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n_hof"))
+    val natPairs = d.select(
+        explode(graft.spark.HashFunctions.textCharPairs(col("text"))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n_nat"))
+    val cmp = natPairs.join(hofPairs, Seq("pair"), "full_outer")
+    assert(cmp.filter(col("n_nat").isNull || col("n_hof").isNull
+      || col("n_nat") =!= col("n_hof")).count() == 0)
+    // multi-code-point stepping: a PUA merge symbol pairs like any BMP char
+    import spark.implicits._
+    val pua = TextAnalysis.bpeSymbol(1)
+    val got = Seq(s"ab${pua}cd x").toDF("text")
+      .select(graft.spark.HashFunctions.textCharPairs(col("text")).as("p"))
+      .head.getSeq[String](0)
+    assert(got == Seq("ab", s"b$pua", s"${pua}c", "cd"))
+  }
+
   test("dedup: span rewrite drops the borrowed paragraph, keeps the borrower's own prose") {
     import graft.operators.Dedup
     val d = Transcripts.documents(spark, sfDir).select(col("doc_id"), col("text"))
