@@ -443,9 +443,20 @@ object Similarity {
     * plan as literals (sub-slices of the SAME 16 collected vectors the IVF
     * quantizer uses — one driver fetch serves both).
     */
-  private def pqDistArr(cents: Array[(Long, Array[Double])],
-      xs: Column, x2: Column, j: Int): Column = {
+  private def pqDistArr(cents: Array[(Long, Array[Double])], j: Int): Column =
+    graft.spark.VectorFunctions.pqSubDists(col("embedding"), j * pqSubDim,
+      (0 until pqCodes).map(c =>
+        cents(c)._2.slice(j * pqSubDim, (j + 1) * pqSubDim).toSeq))
+
+  /** The interpreted expression twin of [[pqDistArr]] — kept for the parity
+    * spec pinning the native [[graft.spark.PqKernel]] to the SQL form (the
+    * expression tree carried 16 branches per subspace, twice per PQ query —
+    * the dominant Catalyst planning/codegen cost of the PQ family).
+    */
+  private[graft] def pqDistArrHof(cents: Array[(Long, Array[Double])], j: Int): Column = {
     import graft.spark.VectorFunctions.vecDot
+    val xs = pqSubvector(j)
+    val x2 = vecDot(xs, xs)
     val ds = (0 until pqCodes).map { c =>
       val cs = cents(c)._2.slice(j * pqSubDim, (j + 1) * pqSubDim)
       val c2 = cs.foldLeft(0d)((acc, x) => acc + x * x)
@@ -457,17 +468,23 @@ object Similarity {
   private def pqSubvector(j: Int): Column =
     slice(col("embedding"), j * pqSubDim + 1, pqSubDim)
 
+  /** Test hooks for the PqSubDists parity spec. */
+  private[graft] def collectCentroidsForTest(emb: DataFrame): Array[(Long, Array[Double])] =
+    collectCentroids(emb)
+  private[graft] def pqDistArrForTest(cents: Array[(Long, Array[Double])], j: Int): Column =
+    pqDistArr(cents, j)
+  private[graft] def pqDistArrHofForTest(cents: Array[(Long, Array[Double])], j: Int): Column =
+    pqDistArrHof(cents, j)
+
   /** The 8 per-subspace codes of each row as `array<int>` — argmin with
     * first-occurrence (= lowest code) tiebreak, the [[ivfAssignWith]]
     * `array_position(array_min)` idiom.
     */
   private def pqCodesCol(cents: Array[(Long, Array[Double])]): Column = {
-    import graft.spark.VectorFunctions.vecDot
     require(cents.length >= pqCodes,
       s"PQ codebook needs $pqCodes centroid vectors, got ${cents.length}")
     val codes = (0 until pqSubspaces).map { j =>
-      val xs = pqSubvector(j)
-      val darr = pqDistArr(cents, xs, vecDot(xs, xs), j)
+      val darr = pqDistArr(cents, j)
       (array_position(darr, array_min(darr)) - 1).cast("int")
     }
     array(codes: _*)
@@ -514,10 +531,7 @@ object Similarity {
       s"PQ codebook needs $pqCodes centroid vectors, got ${cents.length}")
     val enc = pqEncodeWith(emb, cents)
       .select(col("vec_id").as("neighbor_id"), col("codes"))
-    val luts = (0 until pqSubspaces).map { j =>
-      val xs = pqSubvector(j)
-      pqDistArr(cents, xs, vecDot(xs, xs), j)
-    }
+    val luts = (0 until pqSubspaces).map(j => pqDistArr(cents, j))
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), array(luts: _*).as("lut"))
     val adist = (0 until pqSubspaces).map { j =>

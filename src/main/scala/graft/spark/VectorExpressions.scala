@@ -2,9 +2,9 @@ package graft.spark
 
 import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Static kernel the generated (whole-stage codegen) Java calls into. */
@@ -74,9 +74,108 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     copy(left = newLeft, right = newRight)
 }
 
+/** Static kernel for [[PqSubDists]]. */
+object PqKernel {
+  /** The 16-entry squared-L2 distance array of one PQ subspace: for code c,
+    * `(x2 - 2 * dot(sub, cb[c])) + c2[c]` where `sub` =
+    * embedding[offset, offset + subDim), `x2` = the sequential sum of
+    * squares of `sub`, `dot` the [[VecKernel.dot]] sequential product sum,
+    * and `c2[c]` the sequential sum of squares of the sub-centroid — the
+    * EXACT float-op order of the expression form
+    * `(vec_dot(xs, xs) - 2.0 * vec_dot(xs, lit(cb))) + lit(c2)` over
+    * `xs = slice(embedding, offset + 1, subDim)`, so argmins and ADC sums
+    * are bit-identical to the DuckDB twin (pinned by a parity spec). One
+    * kernel node replaces a 16-branch expression subtree per subspace —
+    * the PQ queries' plans carried 8 x 16 such branches twice (encode +
+    * query LUT), which dominated their Catalyst planning/codegen cost.
+    */
+  def subDists(emb: ArrayData, isFloat: Boolean, offset: Int,
+      cb: Array[Array[Double]], c2: Array[Double]): ArrayData = {
+    val subDim = cb(0).length
+    val sub = new Array[Double](subDim)
+    val n = emb.numElements()
+    var i = 0
+    while (i < subDim) {
+      val idx = offset + i
+      // slice semantics: truncated if the array is shorter (embeddings are
+      // fixed 64-dim, so this is defensive only; missing dims contribute 0
+      // exactly like vec_dot's min-length loop)
+      sub(i) = if (idx < n) { if (isFloat) emb.getFloat(idx).toDouble else emb.getDouble(idx) }
+        else 0.0
+      i += 1
+    }
+    var x2 = 0.0
+    i = 0
+    while (i < subDim) { x2 += sub(i) * sub(i); i += 1 }
+    val out = new Array[Any](cb.length)
+    var c = 0
+    while (c < cb.length) {
+      val cv = cb(c)
+      var d = 0.0
+      var j = 0
+      while (j < subDim) { d += sub(j) * cv(j); j += 1 }
+      out(c) = (x2 - 2.0 * d) + c2(c)
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native codegen'd per-subspace PQ distance table (see
+  * [[PqKernel.subDists]]) — the codebook rides the plan as a reference
+  * object exactly as the expression form carried it as 16 array literals.
+  */
+case class PqSubDists(child: Expression, offset: Int,
+    codeVecs: Seq[Seq[Double]]) extends UnaryExpression {
+  require(codeVecs.nonEmpty && codeVecs.forall(_.length == codeVecs.head.length),
+    "pq_sub_dists needs a non-empty rectangular codebook slice")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType | FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_sub_dists expects array<float|double>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  private def isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  @transient private lazy val cb: Array[Array[Double]] =
+    codeVecs.map(_.toArray).toArray
+
+  /** Sub-centroid squared norms, sequential sum — same value the expression
+    * form computed on the driver with foldLeft.
+    */
+  @transient private lazy val c2: Array[Double] = cb.map { cv =>
+    var s = 0.0; var i = 0
+    while (i < cv.length) { s += cv(i) * cv(i); i += 1 }
+    s
+  }
+
+  override protected def nullSafeEval(e: Any): Any =
+    PqKernel.subDists(e.asInstanceOf[ArrayData], isFloat, offset, cb, c2)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("cb", cb, "double[][]")
+    val c2Ref = ctx.addReferenceObj("c2", c2, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.spark.PqKernel.subDists($c, $isFloat, $offset, $cbRef, $c2Ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** DataFrame-DSL access to the native vector expressions. */
 object VectorFunctions {
   def vecDot(a: Column, b: Column): Column =
     GraftColumnBridge.column(
       VecDot(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  def pqSubDists(emb: Column, offset: Int, codeVecs: Seq[Seq[Double]]): Column =
+    GraftColumnBridge.column(
+      PqSubDists(GraftColumnBridge.expression(emb), offset, codeVecs))
 }

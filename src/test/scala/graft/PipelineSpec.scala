@@ -2131,6 +2131,18 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq("ab", s"b$pua", s"${pua}c", "cd"))
   }
 
+  test("pq_sub_dists: native distance table identical to the expression form") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cents = Similarity.collectCentroidsForTest(emb)
+    val checks = (0 until 8).map { j =>
+      (Similarity.pqDistArrForTest(cents, j).as(s"n$j"),
+        Similarity.pqDistArrHofForTest(cents, j).as(s"h$j"))
+    }
+    val d = emb.select(checks.flatMap(t => Seq(t._1, t._2)): _*)
+    val mismatch = (0 until 8).map(j => col(s"n$j") =!= col(s"h$j")).reduce(_ || _)
+    assert(d.filter(mismatch).count() == 0)
+  }
+
   test("dedup: span rewrite drops the borrowed paragraph, keeps the borrower's own prose") {
     import graft.operators.Dedup
     val d = Transcripts.documents(spark, sfDir).select(col("doc_id"), col("text"))
