@@ -159,14 +159,13 @@ object Dedup {
     * pinned by a parity spec + the oracle hash-compare).
     */
   def signatureFromGrams(g: DataFrame): DataFrame = {
-    val withMh = g.select(col("doc_id"),
-      graft.spark.HashFunctions.minHash16(col("grams")).as("mh"))
+    val withBands = g.select(col("doc_id"),
+      graft.spark.HashFunctions.minHashBands(col("grams"),
+        minhashBandCount, minhashRowsPerBand).as("bands"))
     val bandCols = (0 until minhashBandCount).map { b =>
-      val rows = (0 until minhashRowsPerBand)
-        .map(r => element_at(col("mh"), b * minhashRowsPerBand + r + 1).cast("string"))
-      md5(concat_ws("_", rows: _*)).as(s"band$b")
+      element_at(col("bands"), b + 1).as(s"band$b")
     }
-    withMh.select((col("doc_id") +: bandCols): _*)
+    withBands.select((col("doc_id") +: bandCols): _*)
   }
 
   def minhashSignature(doc: DataFrame): DataFrame =
@@ -334,14 +333,15 @@ object Dedup {
     * shared non-null constant that could spuriously collide).
     */
   private[graft] def hashAndBands(df: DataFrame, keep: Seq[org.apache.spark.sql.Column]): DataFrame = {
-    val mh = when(size(split(col("text"), " ")) >= 3,
-      graft.spark.HashFunctions.minHash16(shingles(col("text"))))
+    // minhash_bands returns NULL for docs too short to shingle (shingles3
+    // yields an empty gram array below 3 tokens), preserving the
+    // genuinely-NULL band guard of the previous when(mh.isNotNull, ...)
+    // form — NULL never equi-joins, so short docs cannot spuriously collide
     val bandCols = (0 until minhashBandCount).map { b =>
-      val rows = (0 until minhashRowsPerBand)
-        .map(r => element_at(col("mh"), b * minhashRowsPerBand + r + 1).cast("string"))
-      when(col("mh").isNotNull, md5(concat_ws("_", rows: _*))).as(s"band$b")
+      element_at(col("bands"), b + 1).as(s"band$b")
     }
-    df.withColumn("mh", mh)
+    df.withColumn("bands", graft.spark.HashFunctions.minHashBands(
+        shingles(col("text")), minhashBandCount, minhashRowsPerBand))
       .select((keep :+ md5(col("text")).as("h")) ++ bandCols: _*)
   }
 

@@ -406,7 +406,7 @@ object TextAnalysis {
     * hash (first 4 md5 hex chars mod B, the simhash convention) in Column
     * form, for the exploded-token shape training needs.
     */
-  private def classifierBucket(t: Column): Column =
+  private[graft] def classifierBucket(t: Column): Column =
     pmod(conv(substring(md5(t), 1, 4), 16, 10).cast("int"),
       lit(classifierBuckets)).cast("int")
 
@@ -434,8 +434,9 @@ object TextAnalysis {
   def trainClassifier(doc: DataFrame): Array[(Int, Long, Long, Long)] = {
     val counts = doc
       .select(blocklistKeep(blockedTermCount).as("pos"),
-        explode(tokens(col("text"))).as("t"))
-      .groupBy(classifierBucket(col("t")).as("bucket"))
+        explode(graft.spark.HashFunctions.classifierBuckets(
+          col("text"), classifierBuckets)).as("bucket"))
+      .groupBy("bucket")
       .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
         sum(when(!col("pos"), 1L).otherwise(0L)).as("n_neg"))
       .collect()

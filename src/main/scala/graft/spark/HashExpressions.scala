@@ -679,6 +679,150 @@ case class WinnowFps(child: Expression, w: Int, s: Int) extends UnaryExpression 
     copy(child = newChild)
 }
 
+/** Static kernel for [[MinHashBands]]. */
+object MinHashBandsKernel {
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private def hex(d: Array[Byte]): String = {
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexDigits((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** The band keys of a shingle array in one pass: the 16
+    * [[MinHashKernel.minhash16]] values banded 4x4, band b =
+    * md5 hex of the '_'-joined decimal strings of rows [4b, 4b+4) — exactly
+    * `md5(concat_ws("_", element_at(mh, i).cast("string")...))`, pinned by
+    * a parity spec. EMPTY grams (a doc too short to shingle) yield NULL,
+    * the same genuinely-NULL band semantics as the
+    * `when(mh.isNotNull, ...)` guard in the expression form — null never
+    * equi-joins, so short docs can never spuriously collide. One kernel
+    * node replaces the 16-column md5/concat_ws band subtree that every
+    * artifact/signature plan carried.
+    */
+  def bands(grams: ArrayData, bandCount: Int, rowsPerBand: Int): ArrayData = {
+    if (grams.numElements() == 0) return null
+    val mins = MinHashKernel.minhash16(grams)
+    val digestFn = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Any](bandCount)
+    var b = 0
+    while (b < bandCount) {
+      val sb = new java.lang.StringBuilder()
+      var r = 0
+      while (r < rowsPerBand) {
+        if (r > 0) sb.append('_')
+        sb.append(mins.getLong(b * rowsPerBand + r))
+        r += 1
+      }
+      digestFn.reset()
+      out(b) = org.apache.spark.unsafe.types.UTF8String.fromString(
+        hex(digestFn.digest(sb.toString.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))))
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native codegen'd MinHash band keys (see [[MinHashBandsKernel.bands]]) —
+  * the banding half of every minhash artifact/signature build
+  * ([[graft.operators.Dedup]] hashAndBands / signatureFromGrams).
+  */
+case class MinHashBands(child: Expression, bandCount: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+  require(bandCount > 0 && rowsPerBand > 0,
+    s"minhash_bands needs positive geometry, got $bandCount x $rowsPerBand")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_bands expects array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(g: Any): Any =
+    MinHashBandsKernel.bands(g.asInstanceOf[ArrayData], bandCount, rowsPerBand)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.spark.MinHashBandsKernel.bands($c, $bandCount, $rowsPerBand);
+         |if (${ev.value} == null) {
+         |  ${ev.isNull} = true;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Static kernel for [[ClassifierBuckets]]. */
+object ClassifierBucketsKernel {
+
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** The [[ClassifierScoreKernel]] feature bucket of every single-space
+    * token, in token order — one array per document, so classifier
+    * training explodes ONE kernel array instead of exploding raw tokens
+    * and re-deriving `pmod(conv(substring(md5(t), 1, 4), 16, 10), B)` per
+    * exploded row. Bit-identical bucket values (parity spec).
+    */
+  def buckets(text: org.apache.spark.unsafe.types.UTF8String,
+      b: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val digestFn = md5.get()
+    val out = new Array[Any](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      digestFn.reset()
+      val d = digestFn.digest(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val h = ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+      out(i) = Integer.valueOf(h % b)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native codegen'd per-token classifier feature buckets (see
+  * [[ClassifierBucketsKernel.buckets]]).
+  */
+case class ClassifierBuckets(child: Expression, b: Int) extends UnaryExpression {
+  require(b > 0, s"classifier_buckets needs a positive bucket count, got $b")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"classifier_buckets expects string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override protected def nullSafeEval(t: Any): Any =
+    ClassifierBucketsKernel.buckets(
+      t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], b)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.ClassifierBucketsKernel.buckets($c, $b)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Static kernel for [[TokenSetCount]]. */
 object TokenSetCountKernel {
   /** Count of single-space tokens (trailing empties kept) contained in
@@ -868,6 +1012,13 @@ case class TextCharPairs(child: Expression) extends UnaryExpression {
 
 /** DataFrame-DSL access. */
 object HashFunctions {
+  def minHashBands(grams: Column, bandCount: Int, rowsPerBand: Int): Column =
+    GraftColumnBridge.column(
+      MinHashBands(GraftColumnBridge.expression(grams), bandCount, rowsPerBand))
+
+  def classifierBuckets(text: Column, b: Int): Column =
+    GraftColumnBridge.column(ClassifierBuckets(GraftColumnBridge.expression(text), b))
+
   def tokenSetCount(text: Column, words: Seq[String]): Column =
     GraftColumnBridge.column(TokenSetCount(GraftColumnBridge.expression(text), words))
 

@@ -1485,8 +1485,11 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
         doc.filter(pmod(col("doc_id"), lit(3)) === 0))
       .queryExecution.executedPlan.toString
     assert(plan.contains("ExistingRDD"), s"no checkpointed artifact scan in:\n$plan")
-    val n = "minhash16\\(".r.findAllIn(plan).length
-    assert(n == 1, s"expected exactly 1 minhash16 eval (incoming side), got $n:\n$plan")
+    // the signature node is minhash_bands (minhash16 fused inside) since
+    // the banding kernel landed; the invariant is unchanged — exactly one
+    // signature evaluation, on the incoming side
+    val n = "minhash_?bands\\(".r.findAllIn(plan.toLowerCase).length
+    assert(n == 1, s"expected exactly 1 minhash-band eval (incoming side), got $n:\n$plan")
     // artifacts carry GUARDED bands: a too-short-to-shingle doc has NULL
     // band keys, never the md5('') constant concat_ws alone would produce
     val art = Dedup.corpusArtifacts(existing)
@@ -2141,6 +2144,45 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val d = emb.select(checks.flatMap(t => Seq(t._1, t._2)): _*)
     val mismatch = (0 until 8).map(j => col(s"n$j") =!= col(s"h$j")).reduce(_ || _)
     assert(d.filter(mismatch).count() == 0)
+  }
+
+  test("minhash_bands / classifier_buckets: native == expression forms") {
+    import graft.operators.{Dedup, TextAnalysis}
+    val d = Transcripts.documents(spark, sfDir)
+    // minhash_bands vs md5(concat_ws('_', mh rows)) over minhash16
+    val hofBands = {
+      val mh = graft.spark.HashFunctions.minHash16(
+        graft.spark.HashFunctions.shingles3(col("text")))
+      val withMh = d.filter(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"), mh.as("mh"))
+      val cols = (0 until Dedup.minhashBandCount).map { b =>
+        val rows = (0 until Dedup.minhashRowsPerBand)
+          .map(r => element_at(col("mh"), b * Dedup.minhashRowsPerBand + r + 1)
+            .cast("string"))
+        md5(concat_ws("_", rows: _*)).as(s"hb$b")
+      }
+      withMh.select((col("doc_id") +: cols): _*)
+    }
+    val natBands = d.select(col("doc_id"),
+      graft.spark.HashFunctions.minHashBands(
+        graft.spark.HashFunctions.shingles3(col("text")),
+        Dedup.minhashBandCount, Dedup.minhashRowsPerBand).as("bands"))
+    val joined = natBands.join(hofBands, Seq("doc_id"), "left")
+    // shingleable docs: all four band values match; short docs: NULL bands
+    val bandMismatch = (0 until Dedup.minhashBandCount)
+      .map(b => element_at(col("bands"), b + 1) =!= col(s"hb$b")).reduce(_ || _)
+    assert(joined.filter(col("hb0").isNotNull && bandMismatch).count() == 0)
+    assert(joined.filter(col("hb0").isNull && col("bands").isNotNull).count() == 0)
+    // classifier_buckets vs the md5/conv/pmod bucket expression per token
+    val natB = d.select(explode(graft.spark.HashFunctions.classifierBuckets(
+        col("text"), TextAnalysis.classifierBuckets)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_nat"))
+    val hofB = d.select(explode(split(col("text"), " ")).as("t"))
+      .select(TextAnalysis.classifierBucket(col("t")).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_hof"))
+    val cmp = natB.join(hofB, Seq("bucket"), "full_outer")
+    assert(cmp.filter(col("n_nat").isNull || col("n_hof").isNull
+      || col("n_nat") =!= col("n_hof")).count() == 0)
   }
 
   test("dedup: span rewrite drops the borrowed paragraph, keeps the borrower's own prose") {
