@@ -550,10 +550,20 @@ object Dedup {
   def incrementalDedupBloom(
       artifacts: DataFrame,
       incoming: DataFrame,
-      expectedItems: Long = bloomExpectedItems): DataFrame = {
+      expectedItems: Long = 0L): DataFrame = {
     val outCols = incoming.columns.toSeq
+    // expectedItems <= 0 (the default) sizes the filter from the ARTIFACT
+    // itself: (1 + bands) values per row, as the corpusBloom scaladoc
+    // prescribes, floored at bloomExpectedItems. The artifact is eagerly
+    // checkpointed, so the count is a cheap in-memory scan (catalog-table
+    // metadata at 100 TB); a fixed default saturates silently once the
+    // corpus outgrows it — correct verdicts, but every incoming doc flags
+    // as a candidate and the join bypass disappears.
+    val sized =
+      if (expectedItems > 0) expectedItems
+      else math.max((1L + minhashBandCount) * artifacts.count(), bloomExpectedItems)
     val flagged = hashAndBands(incoming, outCols.map(col))
-      .withColumn("bloom_cand", bloomCandidate(corpusBloom(artifacts, expectedItems)))
+      .withColumn("bloom_cand", bloomCandidate(corpusBloom(artifacts, sized)))
       .localCheckpoint(true)
     val clean = flagged.filter(!col("bloom_cand"))
     val suspects = flagged.filter(col("bloom_cand"))

@@ -37,7 +37,11 @@ object Frontier {
     crawled.select(canonical(col("url")).as("canonical"))
       .distinct().localCheckpoint(true)
 
-  /** Default expected-items sizing for [[frontierBloom]]. */
+  /** Floor for [[frontierBloom]] sizing — [[frontierIngest]] sizes the
+    * filter from the ARTIFACT's own cardinality (guide §3.2: "you control
+    * the sizing"); the floor only keeps a near-empty artifact from
+    * producing a degenerate filter.
+    */
   val frontierBloomItems = 100000L
 
   /** Compact Bloom fingerprint of the frontier artifact's canonical keys
@@ -74,7 +78,13 @@ object Frontier {
     */
   def frontierIngest(art: DataFrame, incoming: DataFrame,
       cap: Long = Sampling.domainCapDocs): DataFrame = {
-    val bloom = frontierBloom(art)
+    // Size the filter from the artifact's own cardinality (the artifact is
+    // eagerly checkpointed, so the count is a cheap in-memory scan; at
+    // 10^10 keys it comes from catalog-table metadata). A fixed default
+    // stays CORRECT when the artifact outgrows it — the exact join
+    // discharges candidates — but a saturated filter flags everything,
+    // silently losing the join bypass this operator exists for.
+    val bloom = frontierBloom(art, math.max(art.count(), frontierBloomItems))
     val inc = incoming
       .select(col("url_id"), canonical(col("url")).as("canonical"))
       .withColumn("host", regexp_extract(col("canonical"), hostPattern, 1))

@@ -2185,6 +2185,27 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       || col("n_nat") =!= col("n_hof")).count() == 0)
   }
 
+  test("bloom sizing: artifact-derived filters stay unsaturated where a tiny fixed size floods") {
+    import graft.operators.Dedup
+    val base = Transcripts.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val existing = base.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val fresh = base.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val art = Dedup.corpusArtifacts(existing)
+    val freshSig = Dedup.hashAndBands(fresh, Seq(col("doc_id")))
+    def candidateFraction(expectedItems: Long): Double = {
+      val bloom = Dedup.corpusBloom(art, expectedItems)
+      val n = freshSig.filter(Dedup.bloomCandidate(bloom)).count().toDouble
+      n / freshSig.count().toDouble
+    }
+    // deliberately undersized: the filter saturates — verdicts stay correct
+    // but (nearly) every fresh doc flags, so the join bypass is gone
+    assert(candidateFraction(4L) > 0.9)
+    // the artifact-derived sizing incrementalDedupBloom now applies by
+    // default: fresh docs overwhelmingly bypass the exact joins
+    val derived = (1L + Dedup.minhashBandCount) * art.count()
+    assert(candidateFraction(math.max(derived, Dedup.bloomExpectedItems)) < 0.2)
+  }
+
   test("dedup: span rewrite drops the borrowed paragraph, keeps the borrower's own prose") {
     import graft.operators.Dedup
     val d = Transcripts.documents(spark, sfDir).select(col("doc_id"), col("text"))
