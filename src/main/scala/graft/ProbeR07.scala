@@ -89,6 +89,16 @@ object ProbeR07 {
         val d = doc.select(col("doc_id"), col("text"))
         t("simhashPairs cold")(Dedup.simhashPairs(d).count())
         t("simhashPairs warm")(Dedup.simhashPairs(d).count())
+      case "kmeans" =>
+        import graft.operators.Similarity
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        t("emb count")(emb.count())
+        val step1 = t("kmeansStep build+collect cold")(Similarity.kmeansStep(emb).collect())
+        t("kmeansStep build+collect again")(Similarity.kmeansStep(emb).collect())
+        val df = Similarity.kmeansStep(emb)
+        t("same-DF collect 1")(df.collect())
+        t("same-DF collect 2")(df.collect())
+        println(s"[probe] rows=${step1.length}")
       case "streamfloor" =>
         // cost floor of one AvailableNow parquet->parquet stream on tmpfs
         import org.apache.spark.sql.streaming.Trigger

@@ -343,13 +343,18 @@ object Similarity {
     */
   def kmeansStepWith(emb: DataFrame, cents: Array[(Long, Array[Double])]): DataFrame = {
     val assigned = ivfAssignWith(emb, cents)
-    val q = assigned.withColumn("q",
-      expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${kmeansScale}D) AS BIGINT))"))
-    val sums = (1 to dims).map(i => sum(element_at(col("q"), i)).as(s"s$i"))
-    q.groupBy("cell")
-      .agg(count(lit(1)).as("n_vecs"), sums: _*)
-      .select(col("cell"), col("n_vecs"),
-        posexplode(array((1 to dims).map(i => col(s"s$i")): _*)).as(Seq("d0", "s")))
+    // ONE vec_sum_quant aggregate replaces the quantize-transform + 64
+    // separate sum(element_at(q, i)) slots: identical element-wise BIGINT
+    // sums (integer addition is order-independent — the fixed-point
+    // reproducibility argument is unchanged), identical shuffle bytes
+    // (one (cell, long[64]) partial row either way), but the fresh
+    // 65-aggregate plan cost ~0.7 s of Catalyst planning/codegen PER
+    // LLOYD ITERATION (measured; same-DF re-collect is 0.10 s)
+    assigned.groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"),
+        graft.spark.VectorFunctions.vecSumQuant(
+          col("embedding"), dims, kmeansScale.toDouble).as("s"))
+      .select(col("cell"), col("n_vecs"), posexplode(col("s")).as(Seq("d0", "s")))
       .select(col("cell"), (col("d0") + 1).cast("int").as("dim"),
         col("n_vecs").cast("long").as("n_vecs"),
         (col("s").cast("double") / (col("n_vecs").cast("double") * lit(kmeansScale.toDouble)))
@@ -369,15 +374,17 @@ object Similarity {
     * directly.
     */
   def pooledEmbeddings(emb: DataFrame, key: Column): DataFrame = {
-    val q = emb.select(key.cast("long").as("vec_id"),
-      expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${kmeansScale}D) AS BIGINT))")
-        .as("q"))
-    val sums = (1 to dims).map(i => sum(element_at(col("q"), i)).as(s"s$i"))
-    q.groupBy("vec_id")
-      .agg(count(lit(1)).as("n_vecs"), sums: _*)
+    // same vec_sum_quant swap as [[kmeansStepWith]]; the per-element mean
+    // keeps the exact op order of the 64-column form:
+    // s_i.cast(double) / (n_vecs.cast(double) * scale)
+    emb.select(key.cast("long").as("vec_id"), col("embedding"))
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_vecs"),
+        graft.spark.VectorFunctions.vecSumQuant(
+          col("embedding"), dims, kmeansScale.toDouble).as("s"))
       .select(col("vec_id"), col("n_vecs").cast("long").as("n_vecs"),
         array((1 to dims).map(i =>
-          col(s"s$i").cast("double")
+          element_at(col("s"), i).cast("double")
             / (col("n_vecs").cast("double") * lit(kmeansScale.toDouble))): _*)
           .as("embedding"))
   }

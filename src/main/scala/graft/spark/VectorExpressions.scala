@@ -169,6 +169,108 @@ case class PqSubDists(child: Expression, offset: Int,
     copy(child = newChild)
 }
 
+/** Element-wise fixed-point vector-sum AGGREGATE: per input row, each
+  * embedding element contributes `floor(CAST(x AS DOUBLE) * scale)` (one
+  * correctly-rounded multiply + floor — exactly Spark's
+  * `CAST(floor(CAST(x AS DOUBLE) * <scale>D) AS BIGINT)`) to a long[dims]
+  * buffer; the group result is the element-wise BIGINT sum array.
+  * Bit-identical to the 64-column form
+  * `agg(sum(element_at(transform(embedding, quantize), i)) for i <- 1..64)`
+  * (integer sums are order-independent under any partitioning — the
+  * fixed-point reproducibility argument of the k-means/pooling family),
+  * pinned by a parity spec and the oracle hash-compare.
+  *
+  * WHY an aggregate: the 64-separate-sums plan paid ~0.7 s of Catalyst
+  * planning/codegen per FRESH plan (measured: same-DF re-collect 0.10 s),
+  * and k-means training builds one such plan per Lloyd iteration. This is
+  * a TypedImperativeAggregate (ObjectHashAggregate, like Spark's own
+  * collect_list/percentile): partial aggregation is preserved — the
+  * shuffle still carries one (key, long[dims]) row per group per map task,
+  * the same bytes as the 64 separate sum slots.
+  */
+case class VecSumQuant(
+    child: Expression,
+    dims: Int,
+    scale: Double,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Long]] {
+
+  require(dims > 0, s"vec_sum_quant needs positive dims, got $dims")
+
+  override def children: Seq[Expression] = Seq(child)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType | FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"vec_sum_quant expects array<float|double>, got ${other.simpleString}")
+  }
+
+  private def isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](dims)
+
+  override def update(buffer: Array[Long],
+      input: org.apache.spark.sql.catalyst.InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = math.min(dims, arr.numElements())
+      val fl = isFloat
+      var i = 0
+      while (i < n) {
+        val x = if (fl) arr.getFloat(i).toDouble else arr.getDouble(i)
+        buffer(i) += math.floor(x * scale).toLong
+        i += 1
+      }
+    }
+    buffer
+  }
+
+  override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < dims) { buffer(i) += other(i); i += 1 }
+    buffer
+  }
+
+  override def eval(buffer: Array[Long]): Any = new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(dims * 8)
+    var i = 0
+    while (i < dims) { bb.putLong(buffer(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val out = new Array[Long](dims)
+    var i = 0
+    while (i < dims) { out(i) = bb.getLong(); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VecSumQuant =
+    copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(newOffset: Int): VecSumQuant =
+    copy(inputAggBufferOffset = newOffset)
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+
+  override def prettyName: String = "vec_sum_quant"
+}
+
 /** DataFrame-DSL access to the native vector expressions. */
 object VectorFunctions {
   def vecDot(a: Column, b: Column): Column =
@@ -178,4 +280,9 @@ object VectorFunctions {
   def pqSubDists(emb: Column, offset: Int, codeVecs: Seq[Seq[Double]]): Column =
     GraftColumnBridge.column(
       PqSubDists(GraftColumnBridge.expression(emb), offset, codeVecs))
+
+  def vecSumQuant(emb: Column, dims: Int, scale: Double): Column =
+    GraftColumnBridge.column(
+      VecSumQuant(GraftColumnBridge.expression(emb), dims, scale)
+        .toAggregateExpression())
 }

@@ -2206,6 +2206,25 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(candidateFraction(math.max(derived, Dedup.bloomExpectedItems)) < 0.2)
   }
 
+  test("vec_sum_quant: aggregate equals the 64-column quantized-sum form") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val scale = Similarity.kmeansScale.toDouble
+    val key = pmod(col("vec_id"), lit(7)).as("k")
+    val old = emb.select(key,
+        expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${scale}D) AS BIGINT))")
+          .as("q"))
+      .groupBy("k")
+      .agg(array((1 to Similarity.dims)
+        .map(i => sum(element_at(col("q"), i))): _*).as("old_s"))
+    val nw = emb.select(key, col("embedding"))
+      .groupBy("k")
+      .agg(graft.spark.VectorFunctions.vecSumQuant(
+        col("embedding"), Similarity.dims, scale).as("new_s"))
+    val cmp = old.join(nw, Seq("k"))
+    assert(cmp.count() == 7)
+    assert(cmp.filter(col("old_s") =!= col("new_s")).count() == 0)
+  }
+
   test("dedup: span rewrite drops the borrowed paragraph, keeps the borrower's own prose") {
     import graft.operators.Dedup
     val d = Transcripts.documents(spark, sfDir).select(col("doc_id"), col("text"))
